@@ -1,0 +1,81 @@
+"""Benjamini-Hochberg q-values in -log10 space (vectorized).
+
+Replaces the reference's hashtable + quicksort (Genrich.c:146-401) with
+a numpy sort over distinct float32 p-values; the math (saveQval,
+Genrich.c:212-250) is replicated in float32 operation order:
+
+    q[i] = max(min(p[i] + (-log10f(N)) + log10f(k), q[i+1]), 0)
+
+with k = 1 + total bp at strictly higher p, swept from the largest p
+down (reverse cumulative-min ensures monotonicity).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..utils.cfloat import FLT_MAX, SKIP, log10f, log10f_arr
+from .pileup import Pileup
+
+F32 = np.float32
+
+
+def collect_pvals(pvals: List[Pileup]) -> Tuple[np.ndarray, np.ndarray]:
+    """hashPval equivalent: distinct p-values with summed bp lengths.
+
+    ``pvals`` are the final per-chrom p-value pileups (SKIP excluded).
+    Returns (distinct p ascending, total length per p).
+    """
+    vs = []
+    ls = []
+    for p in pvals:
+        if p is None:
+            continue
+        starts = np.concatenate([[0], p.end[:-1]])
+        lens = (p.end - starts).astype(np.uint64)
+        keep = p.cov != SKIP
+        vs.append(p.cov[keep])
+        ls.append(lens[keep])
+    if not vs:
+        return np.zeros(0, F32), np.zeros(0, np.uint64)
+    v = np.concatenate(vs)
+    l = np.concatenate(ls)
+    uv, inv = np.unique(v, return_inverse=True)
+    ul = np.zeros(len(uv), np.uint64)
+    np.add.at(ul, inv, l)
+    return uv.astype(F32), ul
+
+
+def qvalues(p_distinct: np.ndarray, p_len: np.ndarray,
+            genome_len: int) -> np.ndarray:
+    """saveQval math (Genrich.c:219-229) over ascending distinct p."""
+    n = len(p_distinct)
+    if n == 0:
+        return np.zeros(0, F32)
+    log_n = F32(-log10f(F32(genome_len)))
+    # k[i] = 1 + sum of lengths of p > p[i]
+    k = np.ones(n, np.uint64)
+    k[:-1] += np.cumsum(p_len[::-1].astype(np.uint64))[::-1][1:]
+    # float32 left-associated: (p + logN) + log10f((float)k)
+    raw = (p_distinct + log_n).astype(F32) + log10f_arr(k.astype(F32))
+    raw = raw.astype(F32)
+    # reverse sweep with min(prev q) then max(0): a reverse cummin
+    q = np.minimum.accumulate(raw[::-1])[::-1]
+    return np.maximum(q, F32(0.0)).astype(F32)
+
+
+def qval_pileup(pval: Pileup, p_distinct: np.ndarray,
+                qv: np.ndarray) -> Pileup:
+    """Per-chrom lookup of q for each p interval (saveQval tail)."""
+    cov = np.full(len(pval.cov), SKIP, F32)
+    keep = pval.cov != SKIP
+    idx = np.searchsorted(p_distinct, pval.cov[keep])
+    cov[keep] = qv[idx]
+    return Pileup(pval.end, cov)
+
+
+def all_qvalues_one(qv: np.ndarray) -> bool:
+    """Warning condition (Genrich.c:245): largest q is 0."""
+    return len(qv) > 0 and qv[-1] == F32(0.0)

@@ -1,0 +1,501 @@
+"""Main analysis pipeline: the runProgram equivalent (Genrich.c:5386-5695).
+
+Replicate loop: parse expt/ctrl SAM/BAM -> fragment events -> pileups ->
+per-replicate p-values; then findPeaks (combine across replicates,
+q-values, peak calling / logging).  All numeric stages run through
+:mod:`genrich_tpu.engine` (vectorized with C-exact semantics).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .engine import chisq, peaks as peaks_mod, pvalue, qvalue
+from .engine.pileup import (Pileup, calc_factor, calc_lambda,
+                            const_pileup, ctrl_frag_terms, ctrl_pileup,
+                            expt_pileup, lambda_pileup)
+from .errors import ERREXPT, ERRGEN, ERRISSUE, fatal, warn
+from .ingest.bam import read_bam
+from .ingest.chroms import ChromRegistry
+from .ingest.counters import FileCounters
+from .ingest.dedup import DedupState, find_dups
+from .ingest.intervals import EventSink, IntervalWriter, UnpairBuffer
+from .ingest.sam import read_sam
+from .io import files
+from .io.bed import load_bed
+from .output import writers
+from .params import MAX_ALNS, Params
+from .utils.cfloat import SKIP, fmt_f, fmt_prec
+
+F32 = np.float32
+
+
+def _split_files(s: Optional[str]) -> List[str]:
+    """strtok with COM=", " (Genrich.h:24): split on comma/space."""
+    if s is None:
+        return []
+    return [f for f in s.replace(",", " ").split() if f]
+
+
+def _chrom_events(sink: EventSink, chrom_index: int):
+    buf = sink.by_chrom.get(chrom_index)
+    if buf is None:
+        return None
+    return (np.asarray(buf[0], np.int64), np.asarray(buf[1], np.int64),
+            np.asarray(buf[2], np.int64))
+
+
+def _parse_file(filename: str, registry: ChromRegistry, p: Params,
+                sink: EventSink, bed_stream, dups_stream, ctrl: bool,
+                sample: int):
+    """Open and parse one SAM/BAM input; returns (counters, writer, bam)."""
+    stream, gz = files.open_read(filename)
+    bam = gz and files.check_bam(stream)
+    counters = FileCounters()
+    writer = IntervalWriter(sink, bed_stream, ctrl=ctrl, sample=sample,
+                            verbose=p.verbose)
+    unpair = UnpairBuffer() if p.avg_ext_opt else None
+    dedup = DedupState() if p.dups_opt else None
+    if bam:
+        counters.count = read_bam(stream, registry, counters, writer,
+                                  (unpair, dedup), p, ctrl)
+    else:
+        counters.count = read_sam(stream, registry, counters, writer,
+                                  (unpair, dedup), p, ctrl)
+    stream.close()
+
+    if p.dups_opt:
+        find_dups(dedup, counters, writer, p.single_opt, p.extend_opt,
+                  p.extend, p.avg_ext_opt, p.as_diff, p.atac_opt,
+                  p.atac_len5, p.atac_len3, p.atac_adj,
+                  dups_stream, p.verbose)
+    elif p.avg_ext_opt:
+        unpair.process(writer, counters.total_len, counters.paired_pr,
+                       p.verbose)
+    return counters, writer, bam
+
+
+def _compute_genome_len(registry: ChromRegistry, use_chrom) -> int:
+    """Genome length over selected chroms minus -E regions."""
+    total = 0
+    for c in registry:
+        if use_chrom(c):
+            total += c.length
+            for j in range(0, len(c.bed), 2):
+                total -= c.bed[j + 1] - c.bed[j]
+    return total
+
+
+def _save_pileup_expt(registry: ChromRegistry, sink: EventSink
+                      ) -> tuple:
+    """savePileupExpt over all chroms; returns (pileups, fragLen)."""
+    out: Dict[int, Pileup] = {}
+    frag_len = 0.0
+    for c in registry:
+        if c.skip or not c.save:
+            continue
+        ev = _chrom_events(sink, c.index)
+        if ev is None:
+            out[c.index] = const_pileup(c.length, F32(0.0))
+            continue
+        pu, terms = expt_pileup(ev[0], ev[1], ev[2], c.length, c.bed)
+        out[c.index] = pu
+        for t in terms.astype(np.float64):
+            frag_len += t
+    if frag_len == 0.0:
+        raise fatal("", ERREXPT)
+    return out, frag_len
+
+
+def _save_pileup_ctrl(registry: ChromRegistry, sink: EventSink,
+                      frag_len: float, genome_len: int,
+                      verbose: bool) -> Dict[int, Pileup]:
+    """savePileupCtrl (Genrich.c:2052-2161)."""
+    lam = _calc_lambda(registry, frag_len, genome_len)
+    if verbose:
+        warn(f"  Background pileup value: {fmt_f(lam)}\n")
+    ctrl_frag = 0.0
+    for c in registry:
+        if c.skip or not c.save:
+            continue
+        ev = _chrom_events(sink, c.index)
+        if ev is None:
+            continue
+        for t in ctrl_frag_terms(ev[0], ev[1], ev[2], c.length,
+                                 c.bed).astype(np.float64):
+            ctrl_frag += t
+    factor = calc_factor(frag_len, ctrl_frag)
+    if verbose:
+        warn(f"  Scaling factor for control pileup: {fmt_f(factor)}\n")
+        if factor > F32(5.0):
+            warn("  ** Warning! Large scaling may mask true signal **\n")
+    out: Dict[int, Pileup] = {}
+    for c in registry:
+        if c.skip or not c.save:
+            continue
+        ev = _chrom_events(sink, c.index)
+        if ev is None:
+            out[c.index] = lambda_pileup(c.length, c.bed, lam)
+        else:
+            out[c.index] = ctrl_pileup(ev[0], ev[1], ev[2], c.length,
+                                       c.bed, factor, lam)
+    return out
+
+
+def _calc_lambda(registry: ChromRegistry, frag_len: float,
+                 genome_len: int) -> np.float32:
+    if not genome_len:
+        genome_len = _compute_genome_len(
+            registry, lambda c: not c.skip and c.save)
+        if not genome_len:
+            raise fatal("", ERRGEN)
+    return calc_lambda(frag_len, genome_len)
+
+
+def _save_pileup_noctrl(registry: ChromRegistry, frag_len: float,
+                        genome_len: int, verbose: bool
+                        ) -> Dict[int, Pileup]:
+    """savePileupNoCtrl (Genrich.c:1883-1896)."""
+    lam = _calc_lambda(registry, frag_len, genome_len)
+    if verbose:
+        warn(f"  Background pileup value: {fmt_f(lam)}\n")
+    out: Dict[int, Pileup] = {}
+    for c in registry:
+        if c.skip or not c.save:
+            continue
+        out[c.index] = lambda_pileup(c.length, c.bed, lam)
+    return out
+
+
+def _save_pval(registry: ChromRegistry, n: int,
+               expt: Dict[int, Pileup], ctrl: Dict[int, Pileup],
+               pvals: Dict[int, List[Optional[Pileup]]],
+               pile_stream, expt_name: str,
+               ctrl_name: Optional[str]) -> None:
+    """savePval (Genrich.c:1720-1794) incl. the -k pileup log."""
+    if pile_stream is not None:
+        writers.pile_header(pile_stream, expt_name, ctrl_name)
+    for c in registry:
+        if c.skip:
+            continue
+        lst = pvals.setdefault(c.index, [])
+        while len(lst) < n:
+            lst.append(None)
+        if not c.save:
+            lst.append(None)
+            continue
+        ends, ev, cv = pvalue.merge_pileups(expt[c.index],
+                                            ctrl[c.index])
+        pv = pvalue.calc_pval(ev, cv)
+        lst.append(Pileup(ends, pv))
+        if pile_stream is not None:
+            start = 0
+            for m in range(len(ends)):
+                writers.pile_row(pile_stream, c.name, start,
+                                 int(ends[m]), ev[m], cv[m], pv[m])
+                start = int(ends[m])
+
+
+def log_counts(counters: FileCounters, registry: ChromRegistry,
+               p: Params, bam: bool) -> None:
+    """logCounts (Genrich.c:5295-5374), byte-for-byte on stderr."""
+    c = counters
+    if c.err_count > MAX_ALNS:
+        warn(f"(another {c.err_count - MAX_ALNS} warning messages "
+             f"suppressed)\n")
+    avg_len = c.total_len / c.paired_pr if c.paired_pr else 0.0
+    warn(f"  {'BAM' if bam else 'SAM'} records analyzed: "
+         f"{c.count:11d}\n")
+    if c.unmapped:
+        warn(f"    Unmapped:           {c.unmapped:11d}\n")
+    if c.supp:
+        warn(f"    Supp./dups/lowQual: {c.supp:11d}\n")
+    if c.skipped:
+        warn(f"    To skipped refs:    {c.skipped:11d}\n")
+        names = [ch.name for ch in registry if ch.skip or not ch.save]
+        warn("      (" + ",".join(names) + ")\n")
+    if c.low_mapq:
+        warn(f"    MAPQ < {p.min_mapq:<2d}:          {c.low_mapq:11d}\n")
+    warn(f"    Paired alignments:  {c.paired:11d}\n")
+    if c.sec_pair:
+        warn(f"      secondary alns:   {c.sec_pair:11d}\n")
+    if c.orphan:
+        warn(f"      \"orphan\" alns:    {c.orphan:11d}"
+             f"\t** Warning! **\n")
+    warn(f"    Unpaired alignments:{c.single:11d}\n")
+    if c.sec_single:
+        warn(f"      secondary alns:   {c.sec_single:11d}\n")
+    if p.dups_opt:
+        warn("  PCR duplicates --\n")
+        warn(f"    Paired aln sets:    {c.count_pr:11d}\n")
+        pct = F32(F32(100.0) * F32(c.dups_pr) / F32(c.count_pr)) \
+            if c.count_pr else F32(0.0)
+        warn(f"      duplicates:       {c.dups_pr:11d} "
+             f"({fmt_prec(pct, 1)}%)\n")
+        if p.single_opt:
+            warn(f"    Discordant aln sets:{c.count_dc:11d}\n")
+            pct = F32(F32(100.0) * F32(c.dups_dc) / F32(c.count_dc)) \
+                if c.count_dc else F32(0.0)
+            warn(f"      duplicates:       {c.dups_dc:11d} "
+                 f"({fmt_prec(pct, 1)}%)\n")
+            warn(f"    Singleton aln sets: {c.count_sn:11d}\n")
+            pct = F32(F32(100.0) * F32(c.dups_sn) / F32(c.count_sn)) \
+                if c.count_sn else F32(0.0)
+            warn(f"      duplicates:       {c.dups_sn:11d} "
+                 f"({fmt_prec(pct, 1)}%)\n")
+    warn(f"  Fragments analyzed:   {c.single_pr + c.paired_pr:11d}\n")
+    warn(f"    Full fragments:     {c.paired_pr:11d}\n")
+    if c.paired_pr and not p.atac_opt:
+        warn(f"      (avg. length: {fmt_prec(avg_len, 1)}bp)\n")
+    if p.single_opt:
+        warn(f"    Half fragments:     {c.single_pr:11d}\n")
+        if c.single_pr:
+            msg = "      (from unpaired alns"
+            if p.extend_opt:
+                msg += f", extended to {p.extend}bp"
+            elif p.avg_ext_opt and c.paired_pr:
+                msg += f", extended to {int(avg_len + 0.5)}bp"
+            warn(msg + ")\n")
+    if p.atac_opt:
+        warn(f"    ATAC-seq cut sites: "
+             f"{2 * c.paired_pr + c.single_pr:11d}\n")
+        warn(f"      (expanded to length "
+             f"{p.atac_len5 + p.atac_len3}bp)\n")
+
+
+def find_peaks(registry: ChromRegistry,
+               pvals: Dict[int, List[Optional[Pileup]]],
+               sample: int,
+               expt: Dict[int, Pileup], ctrl: Dict[int, Pileup],
+               out_stream, log_stream, p: Params) -> None:
+    """findPeaks (Genrich.c:1076-1137)."""
+    if sample > 1:
+        for c in registry:
+            if c.skip:
+                continue
+            lst = pvals.setdefault(c.index, [])
+            while len(lst) < sample:
+                lst.append(None)
+            lst.append(chisq.combine_pvals(lst[:sample], c.length))
+        n = sample
+    else:
+        n = sample - 1
+
+    genome_len = p.genome_len
+    genome_opt = False
+    if not genome_len:
+        genome_opt = True
+        genome_len = _compute_genome_len(
+            registry, lambda c: (not c.skip
+                                 and pvals.get(c.index)
+                                 and pvals[c.index][n] is not None))
+
+    if p.verbose:
+        if p.peaks_opt:
+            warn("Peak-calling parameters:\n")
+            warn(f"  Genome length: {genome_len}bp\n")
+            warn(f"  Significance threshold: -log({'q' if p.qval_opt else 'p'}"
+                 f") > {fmt_prec(p.pqvalue, 3)}\n")
+            warn(f"  Min. AUC: {fmt_prec(p.min_auc, 3)}\n")
+            if p.min_len:
+                warn(f"  Min. peak length: {p.min_len}bp\n")
+            warn(f"  Max. gap between sites: {p.max_gap}bp\n")
+        else:
+            warn("- peak-calling skipped -\n")
+            warn(f"  Genome length: {genome_len}bp\n")
+
+    # q-values
+    qvals: Dict[int, Pileup] = {}
+    if p.qval_opt:
+        final = [pvals[c.index][n] for c in registry
+                 if not c.skip and pvals.get(c.index)
+                 and pvals[c.index][n] is not None]
+        pd, pl = qvalue.collect_pvals(final)
+        if genome_opt and int(pl.sum()) != genome_len:
+            raise fatal(f"Genome length ({genome_len}) does not match "
+                        f"p-value length ({int(pl.sum())})", ERRISSUE)
+        qv = qvalue.qvalues(pd, pl, genome_len)
+        for c in registry:
+            if c.skip or not pvals.get(c.index) \
+                    or pvals[c.index][n] is None:
+                continue
+            qvals[c.index] = qvalue.qval_pileup(pvals[c.index][n],
+                                                pd, qv)
+        if p.verbose and qvalue.all_qvalues_one(qv):
+            warn("Warning! All q-values are 1\n")
+
+    if p.peaks_opt:
+        _call_peaks(registry, pvals, qvals, n, expt, ctrl, out_stream,
+                    log_stream, p)
+    elif log_stream is not None:
+        _log_intervals(registry, pvals, qvals, n, expt, ctrl,
+                       log_stream, p)
+
+
+def _iter_log_rows(registry, pvals, qvals, n, expt, ctrl, p):
+    """Yield per-interval rows shared by callPeaks/logIntervals -f logs."""
+    for c in registry:
+        if c.skip:
+            continue
+        if p.qval_opt:
+            if qvals.get(c.index) is None:
+                continue
+        elif not pvals.get(c.index) or pvals[c.index][n] is None:
+            continue
+        pv = pvals[c.index][n]
+        qv = qvals.get(c.index)
+        ends = pv.end
+        starts = np.concatenate([[0], ends[:-1]])
+        if n == 0:
+            e = expt[c.index]
+            ct = ctrl[c.index]
+            ev = e.cov[np.searchsorted(e.end, ends, side="left")]
+            cv = ct.cov[np.searchsorted(ct.end, ends, side="left")]
+            reps = None
+        else:
+            ev = cv = None
+            reps = []
+            for r in range(n):
+                rp = pvals[c.index][r] if r < len(pvals[c.index]) \
+                    else None
+                if rp is None:
+                    reps.append(None)
+                else:
+                    reps.append(rp.cov[np.searchsorted(
+                        rp.end, ends, side="left")])
+        yield c, pv, qv, starts, ends, ev, cv, reps
+
+
+def _write_log_row(log_stream, c, m, starts, ends, ev, cv, reps, pv,
+                   qv, p, n, sig):
+    qval = qv.cov[m] if qv is not None else SKIP
+    if n == 0:
+        writers.log_interval(log_stream, c.name, int(starts[m]),
+                             int(ends[m]), ev[m], cv[m], pv.cov[m],
+                             p.qval_opt, qval, sig)
+    else:
+        rep_vals = [r[m] if r is not None else None for r in reps]
+        writers.log_interval_n(log_stream, c.name, int(starts[m]),
+                               int(ends[m]), rep_vals, pv.cov[m],
+                               p.qval_opt, qval, sig)
+
+
+def _call_peaks(registry, pvals, qvals, n, expt, ctrl, out_stream,
+                log_stream, p) -> None:
+    """callPeaks (Genrich.c:977-1069) + the significance-flagged log."""
+    if log_stream is not None:
+        writers.log_header(log_stream, n, p.qval_opt, True)
+    count = 0
+    peak_bp = 0
+    for (c, pv, qv, starts, ends, ev, cv,
+         reps) in _iter_log_rows(registry, pvals, qvals, n, expt,
+                                 ctrl, p):
+        stat = qv.cov if p.qval_opt else pv.cov
+        chrom_peaks = peaks_mod.call_peaks_chrom(
+            stat, pv.cov, qv.cov if qv is not None else None, ends,
+            p.pqvalue, p.min_auc, p.min_len, p.max_gap)
+        for pk in chrom_peaks:
+            writers.write_peak(out_stream, c.name, pk, count)
+            count += 1
+            peak_bp += pk.end - pk.start
+        if log_stream is not None:
+            sig_mask = stat > F32(p.pqvalue)
+            for m in range(len(ends)):
+                _write_log_row(log_stream, c, m, starts, ends, ev, cv,
+                               reps, pv, qv, p, n, bool(sig_mask[m]))
+    if p.verbose:
+        warn(f"Peaks identified: {count} ({peak_bp}bp)\n")
+
+
+def _log_intervals(registry, pvals, qvals, n, expt, ctrl, log_stream,
+                   p) -> None:
+    """logIntervals (Genrich.c:837-878): stats log without peaks."""
+    writers.log_header(log_stream, n, p.qval_opt, False)
+    for (c, pv, qv, starts, ends, ev, cv,
+         reps) in _iter_log_rows(registry, pvals, qvals, n, expt,
+                                 ctrl, p):
+        for m in range(len(ends)):
+            _write_log_row(log_stream, c, m, starts, ends, ev, cv,
+                           reps, pv, qv, p, n, False)
+
+
+def run(p: Params) -> None:
+    """runProgram (Genrich.c:5386-5695)."""
+    if p.peaks_only:
+        from .logreader import find_peaks_only
+        find_peaks_only(p)
+        return
+
+    bed_stream = files.open_write(p.bed_file, p.gz_out) \
+        if p.bed_file else None
+    pile_stream = files.open_write(p.pile_file, p.gz_out) \
+        if p.pile_file else None
+    dups_stream = files.open_write(p.dups_file, p.gz_out) \
+        if p.dups_opt and p.dups_file else None
+
+    xbed = load_bed(p.x_file) if p.x_file else []
+    registry = ChromRegistry(p.xchr_list, xbed, p.verbose)
+
+    expt_files = _split_files(p.in_file)
+    ctrl_files = _split_files(p.ctrl_file)
+
+    pvals: Dict[int, List[Optional[Pileup]]] = {}
+    expt_pu: Dict[int, Pileup] = {}
+    ctrl_pu: Dict[int, Pileup] = {}
+    sample = 0
+    for si, expt_name in enumerate(expt_files):
+        registry.reset_save_flags()
+        ctrl_name = ctrl_files[si] if si < len(ctrl_files) else None
+        frag_len = 0.0
+        for i in (0, 1):
+            filename = expt_name
+            if i:
+                filename = None if (ctrl_name is None
+                                    or ctrl_name == "null") \
+                    else ctrl_name
+                if filename is None:
+                    if p.verbose:
+                        warn(f"- control file #{sample} not "
+                             f"provided -\n")
+                    ctrl_pu = _save_pileup_noctrl(
+                        registry, frag_len, p.genome_len, p.verbose)
+                    break
+            if p.verbose:
+                warn(f"Processing {'control' if i else 'experimental'}"
+                     f" file #{sample}: {filename}\n")
+            if dups_stream is not None:
+                dups_stream.write(
+                    f"# {'control' if i else 'experimental'} file "
+                    f"#{sample}: {filename}\n")
+            sink = EventSink()
+            counters, writer, bam = _parse_file(
+                filename, registry, p, sink, bed_stream, dups_stream,
+                bool(i), sample)
+            counters.err_count = writer.err_count
+            if p.verbose:
+                log_counts(counters, registry, p, bam)
+            if i:
+                ctrl_pu = _save_pileup_ctrl(registry, sink, frag_len,
+                                            p.genome_len, p.verbose)
+            else:
+                expt_pu, frag_len = _save_pileup_expt(registry, sink)
+
+        _save_pval(registry, sample, expt_pu, ctrl_pu, pvals,
+                   pile_stream, expt_name, ctrl_name)
+        sample += 1
+
+    out_stream = files.open_write(p.out_file, p.gz_out) \
+        if p.peaks_opt else None
+    log_stream = files.open_write(p.log_file, p.gz_out) \
+        if p.log_file else None
+
+    find_peaks(registry, pvals, sample, expt_pu, ctrl_pu, out_stream,
+               log_stream, p)
+
+    for s in (out_stream, log_stream, pile_stream, bed_stream,
+              dups_stream):
+        if s is not None and s is not sys.stdout:
+            s.close()

@@ -1,0 +1,144 @@
+"""Reference-binary oracle and synthetic SAM/BAM fixtures.
+
+Compiles the reference Genrich (read-only at /root/reference) into the
+gitignored .oracle/ directory and provides generators for
+queryname-sorted synthetic alignment files used by the golden tests.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import random
+import struct
+import subprocess
+from typing import List, Optional, Tuple
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ORACLE_DIR = os.path.join(REPO, ".oracle")
+ORACLE_BIN = os.path.join(ORACLE_DIR, "Genrich")
+REF_SRC = "/root/reference/Genrich.c"
+
+
+def build_oracle() -> str:
+    """Compile the reference binary once; return its path."""
+    if os.path.exists(ORACLE_BIN) and (
+            os.path.getmtime(ORACLE_BIN) >= os.path.getmtime(REF_SRC)):
+        return ORACLE_BIN
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    subprocess.run(
+        ["gcc", "-g", "-O2", "-std=gnu99", "-o", ORACLE_BIN, REF_SRC,
+         "-lz", "-lm"],
+        check=True, capture_output=True)
+    return ORACLE_BIN
+
+
+def run_oracle(args: List[str], cwd: str) -> subprocess.CompletedProcess:
+    return subprocess.run([build_oracle()] + args, cwd=cwd,
+                          capture_output=True, text=True)
+
+
+def run_ours(args: List[str], cwd: str) -> subprocess.CompletedProcess:
+    import sys
+    return subprocess.run(
+        [sys.executable, "-m", "genrich_tpu"] + args, cwd=cwd,
+        capture_output=True, text=True,
+        env={**os.environ, "PYTHONPATH": REPO})
+
+
+# --- synthetic data -------------------------------------------------
+
+class SamBuilder:
+    """Builds a queryname-sorted SAM file with paired/unpaired records."""
+
+    def __init__(self, chroms: List[Tuple[str, int]], seed: int = 0):
+        self.chroms = chroms
+        self.rng = random.Random(seed)
+        self.records: List[List[str]] = []  # grouped by template
+        self._n = 0
+
+    def header_lines(self) -> List[str]:
+        lines = ["@HD\tVN:1.6\tSO:queryname"]
+        for name, length in self.chroms:
+            lines.append(f"@SQ\tSN:{name}\tLN:{length}")
+        return lines
+
+    def _qname(self) -> str:
+        self._n += 1
+        return f"read{self._n:06d}"
+
+    def add_pair(self, chrom: str, pos1: int, pos2: int,
+                 read_len: int = 50, score: Optional[int] = None,
+                 mapq: int = 60, qual: str = None,
+                 secondary: bool = False,
+                 qname: Optional[str] = None) -> str:
+        """Proper pair: R1 forward at pos1, R2 reverse ending pos2+len."""
+        qname = qname or self._qname()
+        seq = "A" * read_len
+        qual = qual if qual is not None else "I" * read_len
+        extra = [] if score is None else [f"AS:i:{score}"]
+        f1 = 0x1 | 0x2 | 0x40 | 0x20 | (0x100 if secondary else 0)
+        f2 = 0x1 | 0x2 | 0x80 | 0x10 | (0x100 if secondary else 0)
+        r1 = [qname, str(f1), chrom, str(pos1 + 1), str(mapq),
+              f"{read_len}M", "=", str(pos2 + 1), "0", seq, qual] + extra
+        r2 = [qname, str(f2), chrom, str(pos2 + 1), str(mapq),
+              f"{read_len}M", "=", str(pos1 + 1), "0", seq, qual] + extra
+        self.records.append(["\t".join(r1), "\t".join(r2)])
+        return qname
+
+    def add_single(self, chrom: str, pos: int, read_len: int = 50,
+                   reverse: bool = False, score: Optional[int] = None,
+                   mapq: int = 60, first: bool = True,
+                   paired_flags: bool = False,
+                   qname: Optional[str] = None) -> str:
+        """Unpaired alignment (or an unpaired half of a pair)."""
+        qname = qname or self._qname()
+        seq = "A" * read_len
+        flag = (0x10 if reverse else 0)
+        if paired_flags:
+            flag |= 0x1 | (0x40 if first else 0x80) | 0x8
+        extra = [] if score is None else [f"AS:i:{score}"]
+        r = [qname, str(flag), chrom, str(pos + 1), str(mapq),
+             f"{read_len}M", "*", "0", "0", seq, "I" * read_len] + extra
+        self.records.append(["\t".join(r)])
+        return qname
+
+    def write(self, path: str) -> str:
+        with open(path, "w") as f:
+            for line in self.header_lines():
+                f.write(line + "\n")
+            for group in self.records:
+                for rec in group:
+                    f.write(rec + "\n")
+        return path
+
+
+def random_sam(path: str, chroms=(("chr1", 100000), ("chr2", 50000)),
+               n_pairs: int = 300, n_singles: int = 50,
+               seed: int = 42, read_len: int = 50,
+               with_scores: bool = True,
+               cluster: bool = True) -> str:
+    """A reproducible SAM with clustered fragments (peak-like signal)."""
+    b = SamBuilder(list(chroms), seed=seed)
+    rng = b.rng
+    hotspots = []
+    for name, length in chroms:
+        hotspots += [(name, length, rng.randrange(1000, length - 1000))
+                     for _ in range(3)]
+    for _ in range(n_pairs):
+        name, length, hs = rng.choice(hotspots)
+        if cluster and rng.random() < 0.7:
+            p1 = max(0, hs + rng.randrange(-300, 300))
+        else:
+            p1 = rng.randrange(0, length - 600)
+        frag = rng.randrange(read_len + 10, 400)
+        p2 = min(p1 + frag - read_len, length - read_len - 1)
+        score = rng.randrange(-20, 1) if with_scores else None
+        b.add_pair(name, p1, p2, read_len=read_len, score=score)
+    for _ in range(n_singles):
+        name, length, hs = rng.choice(hotspots)
+        pos = rng.randrange(0, length - read_len - 1)
+        score = rng.randrange(-20, 1) if with_scores else None
+        b.add_single(name, pos, read_len=read_len,
+                     reverse=rng.random() < 0.5, score=score)
+    return b.write(path)
