@@ -55,13 +55,24 @@ def log10f(x) -> np.float32:
 
 
 def log10f_arr(x: np.ndarray) -> np.ndarray:
-    """Vectorized log10f: float64 log10 rounded to float32.
+    """Elementwise C log10f over an array.
 
-    glibc's log10f is correctly rounded, and double->float double
-    rounding diverges only with probability ~2^-29 per value; accepted
-    for array workloads (scalar call sites use :func:`log10f`).
+    This glibc's log10f is *not* correctly rounded (differs from
+    float64-log10-then-round on ~5% of values), so matching the
+    reference binary requires calling the real libm function per
+    element.  (The native ops library will batch this later.)
     """
-    return np.log10(np.asarray(x, np.float64)).astype(np.float32)
+    import ctypes
+    lib = _get_libm()
+    f = lib.log10f
+    cf = ctypes.c_float
+    x = np.asarray(x, np.float32)
+    out = np.empty(x.shape, np.float32)
+    flat = x.ravel()
+    oflat = out.ravel()
+    for i in range(flat.size):
+        oflat[i] = f(cf(float(flat[i])).value)
+    return out
 
 
 def fmt_f(x) -> str:

@@ -142,3 +142,79 @@ def random_sam(path: str, chroms=(("chr1", 100000), ("chr2", 50000)),
         b.add_single(name, pos, read_len=read_len,
                      reverse=rng.random() < 0.5, score=score)
     return b.write(path)
+
+
+def sam_to_bam(sam_path: str, bam_path: str) -> str:
+    """Convert our synthetic SAM into a BAM (plain gzip, zlib-readable)."""
+    seq_code = {"=": 0, "A": 1, "C": 2, "M": 3, "G": 4, "R": 5, "S": 6,
+                "V": 7, "T": 8, "W": 9, "Y": 10, "H": 11, "K": 12,
+                "D": 13, "B": 14, "N": 15}
+    op_code = {"M": 0, "I": 1, "D": 2, "N": 3, "S": 4, "H": 5, "P": 6,
+               "=": 7, "X": 8}
+    headers = []
+    refs = []
+    records = []
+    with open(sam_path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if line.startswith("@"):
+                headers.append(line)
+                if line.startswith("@SQ"):
+                    d = dict(x.split(":", 1) for x in line.split("\t")[1:])
+                    refs.append((d["SN"], int(d["LN"])))
+                continue
+            records.append(line.split("\t"))
+    ref_idx = {name: i for i, (name, _) in enumerate(refs)}
+
+    out = bytearray()
+    out += b"BAM\x01"
+    text = ("\n".join(headers) + "\n").encode()
+    out += struct.pack("<i", len(text)) + text
+    out += struct.pack("<i", len(refs))
+    for name, length in refs:
+        nb = name.encode() + b"\x00"
+        out += struct.pack("<i", len(nb)) + nb + struct.pack("<i", length)
+    for f in records:
+        qname, flag, rname, pos, mapq, cigar, rnext, pnext, tlen, \
+            seq, qual = f[:11]
+        extras = f[11:]
+        name_b = qname.encode() + b"\x00"
+        cig = []
+        num = ""
+        for ch in cigar:
+            if ch.isdigit():
+                num += ch
+            else:
+                cig.append((int(num) << 4) | op_code[ch])
+                num = ""
+        l_seq = 0 if seq == "*" else len(seq)
+        packed = bytearray()
+        for i in range(0, l_seq, 2):
+            hi = seq_code.get(seq[i], 15) << 4
+            lo = seq_code.get(seq[i + 1], 15) if i + 1 < l_seq else 0
+            packed.append(hi | lo)
+        qual_b = (b"\xff" * l_seq if qual == "*"
+                  else bytes(ord(c) - 33 for c in qual))
+        aux = b""
+        for e in extras:
+            tag, typ, val = e.split(":", 2)
+            if typ == "i":
+                aux += tag.encode() + b"i" + struct.pack("<i", int(val))
+            elif typ == "Z":
+                aux += tag.encode() + b"Z" + val.encode() + b"\x00"
+        body = struct.pack(
+            "<iiIIiiii",
+            ref_idx[rname], int(pos) - 1,
+            (4680 << 16) | (int(mapq) << 8) | len(name_b),
+            (int(flag) << 16) | len(cig),
+            l_seq,
+            ref_idx.get(rnext if rnext != "=" else rname, -1),
+            int(pnext) - 1, int(tlen))
+        body += name_b
+        body += b"".join(struct.pack("<I", c) for c in cig)
+        body += bytes(packed) + qual_b + aux
+        records_b = struct.pack("<i", len(body)) + body
+        out += records_b
+    with open(bam_path, "wb") as fh:
+        fh.write(gzip.compress(bytes(out)))
+    return bam_path
