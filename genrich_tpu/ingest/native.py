@@ -1,0 +1,176 @@
+"""ctypes bindings for the native C++ ingest library.
+
+Wraps native/libgenrich_ingest.so (SAM/BAM parsing, pair assembly,
+multimapper selection, PCR dedup, interval generation — the byte-level
+host pipeline).  The library produces per-chromosome event arrays and
+counters identical to the pure-Python ingest; tests assert equality.
+Builds on demand with make if the shared object is missing.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..errors import GenrichError
+from ..params import Params
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_SO = os.path.join(_REPO, "native", "libgenrich_ingest.so")
+
+_lib = None
+
+
+def available(build: bool = True) -> bool:
+    """True if the native library is loadable (building if needed)."""
+    try:
+        _load(build=build)
+        return True
+    except Exception:
+        return False
+
+
+def _load(build: bool = True):
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO):
+        if not build:
+            raise FileNotFoundError(_SO)
+        subprocess.run(["make", "-C", os.path.dirname(_SO)],
+                       check=True, capture_output=True)
+    lib = ctypes.CDLL(_SO)
+    lib.gi_create.restype = ctypes.c_void_p
+    lib.gi_error_msg.restype = ctypes.c_char_p
+    lib.gi_error_msg.argtypes = [ctypes.c_void_p]
+    lib.gi_error_code.restype = ctypes.c_int
+    lib.gi_error_code.argtypes = [ctypes.c_void_p]
+    lib.gi_destroy.argtypes = [ctypes.c_void_p]
+    lib.gi_add_xchr.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.gi_add_xbed.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                ctypes.c_uint32, ctypes.c_uint32]
+    lib.gi_set_options.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int32,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_float, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int]
+    lib.gi_reset_save.argtypes = [ctypes.c_void_p]
+    lib.gi_parse.restype = ctypes.c_int64
+    lib.gi_parse.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                             ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                             ctypes.c_char_p, ctypes.c_int,
+                             ctypes.c_char_p, ctypes.c_int]
+    lib.gi_chrom_count.restype = ctypes.c_int
+    lib.gi_chrom_count.argtypes = [ctypes.c_void_p]
+    lib.gi_chrom_name.restype = ctypes.c_char_p
+    lib.gi_chrom_name.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.gi_chrom_len.restype = ctypes.c_uint32
+    lib.gi_chrom_len.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.gi_chrom_skip.restype = ctypes.c_int
+    lib.gi_chrom_skip.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.gi_chrom_save.restype = ctypes.c_int
+    lib.gi_chrom_save.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.gi_chrom_bed_len.restype = ctypes.c_int
+    lib.gi_chrom_bed_len.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.gi_chrom_bed.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                 ctypes.POINTER(ctypes.c_uint32)]
+    lib.gi_event_count.restype = ctypes.c_int64
+    lib.gi_event_count.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.gi_events.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                              ctypes.POINTER(ctypes.c_int64),
+                              ctypes.POINTER(ctypes.c_int64),
+                              ctypes.POINTER(ctypes.c_int32)]
+    lib.gi_counters.argtypes = [ctypes.c_void_p,
+                                ctypes.POINTER(ctypes.c_uint64),
+                                ctypes.POINTER(ctypes.c_double)]
+    _lib = lib
+    return lib
+
+
+_COUNTER_FIELDS = ("count", "unmapped", "paired", "single", "orphan",
+                   "paired_pr", "single_pr", "supp", "skipped",
+                   "low_mapq", "sec_pair", "sec_single", "count_pr",
+                   "dups_pr", "count_dc", "dups_dc", "count_sn",
+                   "dups_sn", "err_count")
+
+
+class NativeIngest:
+    """A persistent native parsing context (chrom registry survives
+    across files, as in the reference's runProgram loop)."""
+
+    def __init__(self, p: Params,
+                 xbed: List[Tuple[str, int, int]]):
+        self._lib = _load()
+        self._h = self._lib.gi_create()
+        for name in p.xchr_list:
+            self._lib.gi_add_xchr(self._h, name.encode())
+        for (name, p0, p1) in xbed:
+            self._lib.gi_add_xbed(self._h, name.encode(), p0, p1)
+        self._lib.gi_set_options(
+            self._h, p.single_opt, p.extend_opt, p.extend,
+            p.avg_ext_opt, p.atac_opt, p.atac_adj, p.atac_len5,
+            p.atac_len3, p.min_mapq, float(p.as_diff), p.dups_opt,
+            p.sort_opt, p.verbose)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.gi_destroy(self._h)
+            self._h = None
+
+    def reset_save(self) -> None:
+        self._lib.gi_reset_save(self._h)
+
+    def parse(self, path: str, ctrl: bool, sample: int,
+              bed_path: Optional[str], dups_path: Optional[str],
+              gz_out: bool) -> int:
+        n = self._lib.gi_parse(
+            self._h, path.encode(), 0, int(ctrl), sample,
+            (bed_path or "").encode(), int(gz_out),
+            (dups_path or "").encode(), int(gz_out))
+        if n < 0:
+            code = self._lib.gi_error_code(self._h)
+            msg = self._lib.gi_error_msg(self._h).decode()
+            raise GenrichError(msg, code)
+        return n
+
+    def chroms(self):
+        """[(name, length, skip, save, bed_list)] in registry order."""
+        out = []
+        for i in range(self._lib.gi_chrom_count(self._h)):
+            nbed = self._lib.gi_chrom_bed_len(self._h, i)
+            bed = (ctypes.c_uint32 * max(nbed, 1))()
+            if nbed:
+                self._lib.gi_chrom_bed(self._h, i, bed)
+            out.append((self._lib.gi_chrom_name(self._h, i).decode(),
+                        self._lib.gi_chrom_len(self._h, i),
+                        bool(self._lib.gi_chrom_skip(self._h, i)),
+                        bool(self._lib.gi_chrom_save(self._h, i)),
+                        list(bed[:nbed])))
+        return out
+
+    def events(self, chrom_index: int):
+        n = self._lib.gi_event_count(self._h, chrom_index)
+        if n == 0:
+            return None
+        start = np.empty(n, np.int64)
+        end = np.empty(n, np.int64)
+        count = np.empty(n, np.int32)
+        self._lib.gi_events(
+            self._h, chrom_index,
+            start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            end.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            count.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return start, end, count
+
+    def counters(self):
+        u = (ctypes.c_uint64 * len(_COUNTER_FIELDS))()
+        t = ctypes.c_double()
+        self._lib.gi_counters(self._h, u, ctypes.byref(t))
+        vals = dict(zip(_COUNTER_FIELDS, u))
+        vals["total_len"] = t.value
+        return vals

@@ -61,6 +61,14 @@ def check_bam(stream) -> bool:
     return False
 
 
+def resolve_out_path(path: str, gz: bool) -> str:
+    """The on-disk name openWrite would use (.gz suffix handling)."""
+    if gz and path != "-" and path != "/dev/null" \
+            and not path.endswith(GZEXT):
+        return path + GZEXT
+    return path
+
+
 def open_write(path: str, gz: bool):
     """openWrite (Genrich.c:5072-5102). Returns a text-mode stream."""
     if path.startswith("-") and len(path) > 1:

@@ -1,0 +1,111 @@
+"""Fused device pipeline: fragment events -> peaks, one XLA program.
+
+This is the TPU fast path for the genome-scale numeric phase: a tile's
+fragment events (start, end, count-code) go through sort, cumulative
+class sums, coverage reconstruction, the log-normal p-value, and
+vectorized peak calling without leaving the device.  The exact
+(byte-parity) path lives in genrich_tpu.engine; this path trades the
+float64 tail approximations for float32 at ~1e-6 relative error on
+-log10 p.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .peaks_jax import TilePeaks, call_peaks
+from .pileup_jax import (canon_value, event_deltas, interval_values,
+                         sort_events)
+from .pvalue_jax import calc_pval
+
+
+class TileResult(NamedTuple):
+    peaks: TilePeaks
+    frag_len: jnp.ndarray    # f32 scalar: weighted fragment length
+    n_intervals: jnp.ndarray
+
+
+def build_event_points(start, end, count):
+    """Events -> (pos, deltas) point lists (2E points).
+
+    count == 0 marks padding (zero deltas); padding positions should
+    already be tile_len so they sort to the end.
+    """
+    add, sub = event_deltas(count)
+    pos = jnp.concatenate([start, end])
+    deltas = jnp.concatenate([add, sub], axis=0)
+    return pos, deltas
+
+
+def analyze_tile_core(start, end, count, tile_len, carry, lam, min_pq,
+                      min_auc, min_len: int, max_gap: int) -> TileResult:
+    """Tile analysis with an inter-tile carry (jit/vmap/shard_map-able).
+
+    start/end/count: int32 [E] padded (count 0, start=end=tile_len).
+    carry: int32 [4] — cumulative class sums entering this tile (the
+    blockwise-scan carry for fragments spanning tile boundaries).
+    lam: background rate (no-control mode); min_pq: -log10 threshold.
+    """
+    pos, deltas = build_event_points(start, end, count)
+    # virtual point at 0 so the leading interval carries the incoming
+    # coverage (nonzero when carry != 0)
+    pos = jnp.concatenate([jnp.zeros((1,), pos.dtype), pos])
+    deltas = jnp.concatenate([jnp.zeros((1, 4), deltas.dtype), deltas])
+    pos, deltas = sort_events(pos, deltas)
+    cum = jnp.cumsum(deltas, axis=0) + carry[None, :]
+    vals = canon_value(cum)
+    starts = pos
+    ends = jnp.concatenate([pos[1:],
+                            jnp.full((1,), tile_len, pos.dtype)])
+
+    lens = (ends - starts).astype(jnp.float32)
+    frag_len = jnp.sum(lens * vals)
+
+    ctrl = jnp.full_like(vals, lam)
+    pval = calc_pval(vals, ctrl)
+
+    live = starts < tile_len
+    peaks = call_peaks(starts, ends, pval, pval,
+                       jnp.full_like(pval, -1.0), live,
+                       min_pq, min_auc, min_len, max_gap)
+    return TileResult(peaks, frag_len, jnp.sum(live.astype(jnp.int32)))
+
+
+@partial(jax.jit, static_argnames=("min_len", "max_gap"))
+def analyze_tile(start, end, count, tile_len, lam, min_pq, min_auc,
+                 min_len: int, max_gap: int) -> TileResult:
+    """Single-tile analysis (no carry): events -> peaks."""
+    return analyze_tile_core(start, end, count, tile_len,
+                             jnp.zeros((4,), jnp.int32), lam, min_pq,
+                             min_auc, min_len, max_gap)
+
+
+def tile_class_totals(start, end, count) -> jnp.ndarray:
+    """Sum of all class deltas in a tile (for inter-tile carries)."""
+    add, sub = event_deltas(count)
+    return jnp.sum(add + sub, axis=0)
+
+
+def random_events(key, n_events: int, tile_len: int,
+                  n_hotspots: int = 8, frac_hot: float = 0.7):
+    """Synthetic clustered fragment events for benches and dry-runs."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    hot = jax.random.randint(k1, (n_hotspots,), 0,
+                             max(1, tile_len - 2000))
+    which = jax.random.randint(k2, (n_events,), 0, n_hotspots)
+    is_hot = jax.random.uniform(k3, (n_events,)) < frac_hot
+    base = jnp.where(
+        is_hot,
+        hot[which] + jax.random.randint(k4, (n_events,), 0, 1500),
+        jax.random.randint(k4, (n_events,), 0,
+                           max(1, tile_len - 500)))
+    frag = jax.random.randint(k2, (n_events,), 80, 400)
+    start = jnp.clip(base, 0, tile_len - 1).astype(jnp.int32)
+    end = jnp.clip(base + frag, 1, tile_len).astype(jnp.int32)
+    end = jnp.maximum(end, start + 1)
+    count = jnp.ones((n_events,), jnp.int32)
+    return start, end, count

@@ -83,6 +83,7 @@ class Params:
     genome_len: int = 0                 # -L
     verbose: bool = False               # -v
     engine: str = "jax"                 # extension: jax | numpy compute engine
+    ingest: str = "auto"                # extension: auto | native | python
 
     def validate(self) -> None:
         """Argument checks in the reference's order (Genrich.c:5775-5817)."""
@@ -156,6 +157,12 @@ def parse_args(argv: List[str]) -> Params:
             continue
         if arg == "--engine":  # extension flag (not in reference)
             p.engine = argv[i + 1]
+            i += 2
+            continue
+        if arg == "--ingest":  # extension flag: auto | native | python
+            p.ingest = argv[i + 1]
+            if p.ingest not in ("auto", "native", "python"):
+                raise fatal(f"--ingest {p.ingest}", ERRPARAM)
             i += 2
             continue
         if not arg.startswith("-") or arg == "-":

@@ -33,6 +33,19 @@ from .utils.cfloat import SKIP, fmt_f, fmt_prec
 F32 = np.float32
 
 
+def _is_bam(filename: str) -> bool:
+    """Detect BAM (gzip magic + 'BAM\\1') for the -v counter label."""
+    try:
+        import gzip
+        with open(filename, "rb") as f:
+            if f.read(2) != b"\x1f\x8b":
+                return False
+        with gzip.open(filename, "rb") as g:
+            return g.read(4) == b"BAM\x01"
+    except OSError:
+        return False
+
+
 def _split_files(s: Optional[str]) -> List[str]:
     """strtok with COM=", " (Genrich.h:24): split on comma/space."""
     if s is None:
@@ -46,6 +59,55 @@ def _chrom_events(sink: EventSink, chrom_index: int):
         return None
     return (np.asarray(buf[0], np.int64), np.asarray(buf[1], np.int64),
             np.asarray(buf[2], np.int64))
+
+
+def _append_text(path: Optional[str], gz: bool, text: str) -> None:
+    """Append a header line to a log written incrementally (native
+    mode appends from C++; gzip outputs become multi-member)."""
+    if not path:
+        return
+    import gzip as _gzip
+    real = files.resolve_out_path(path, gz)
+    if gz:
+        with _gzip.open(real, "at") as f:
+            f.write(text)
+    else:
+        with open(real, "a") as f:
+            f.write(text)
+
+
+def _sync_registry(nat, registry: ChromRegistry) -> None:
+    """Mirror the native chrom registry into the Python one."""
+    for (name, length, skip, save, bed) in nat.chroms():
+        c = registry.by_name.get(name)
+        if c is None:
+            from .ingest.chroms import Chrom
+            c = Chrom(name, length, skip, save, bed,
+                      len(registry.chroms))
+            registry.chroms.append(c)
+            registry.by_name[name] = c
+        else:
+            c.save = save
+            c.skip = skip
+            c.bed = bed
+
+
+def _parse_file_native(nat, filename: str, registry: ChromRegistry,
+                       p: Params, sink: EventSink, ctrl: bool,
+                       sample: int) -> FileCounters:
+    """Parse one file through the C++ ingest library."""
+    bed_path = files.resolve_out_path(p.bed_file, p.gz_out) \
+        if p.bed_file else None
+    dups_path = files.resolve_out_path(p.dups_file, p.gz_out) \
+        if p.dups_opt and p.dups_file else None
+    nat.parse(filename, ctrl, sample, bed_path, dups_path, p.gz_out)
+    _sync_registry(nat, registry)
+    counters = FileCounters(**nat.counters())
+    for c in registry:
+        ev = nat.events(c.index)
+        if ev is not None:
+            sink.by_chrom[c.index] = [ev[0], ev[1], ev[2]]
+    return counters
 
 
 def _parse_file(filename: str, registry: ChromRegistry, p: Params,
@@ -429,18 +491,39 @@ def run(p: Params) -> None:
         find_peaks_only(p)
         return
 
-    bed_stream = files.open_write(p.bed_file, p.gz_out) \
-        if p.bed_file else None
-    pile_stream = files.open_write(p.pile_file, p.gz_out) \
-        if p.pile_file else None
-    dups_stream = files.open_write(p.dups_file, p.gz_out) \
-        if p.dups_opt and p.dups_file else None
-
     xbed = load_bed(p.x_file) if p.x_file else []
     registry = ChromRegistry(p.xchr_list, xbed, p.verbose)
 
     expt_files = _split_files(p.in_file)
     ctrl_files = _split_files(p.ctrl_file)
+
+    # native C++ ingest: default when the library is available and all
+    # inputs are regular files (stdin needs the Python reader)
+    nat = None
+    if p.ingest in ("auto", "native") \
+            and "-" not in expt_files + ctrl_files:
+        from .ingest import native as native_mod
+        if native_mod.available(build=(p.ingest == "native")):
+            nat = native_mod.NativeIngest(p, xbed)
+        elif p.ingest == "native":
+            raise fatal("native ingest library unavailable", ERRGEN)
+
+    if nat is not None:
+        bed_stream = None
+        dups_stream = None
+        # truncate the incrementally-appended logs
+        for path in (p.bed_file,
+                     p.dups_file if p.dups_opt else None):
+            if path:
+                real = files.resolve_out_path(path, p.gz_out)
+                open(real, "w").close()
+    else:
+        bed_stream = files.open_write(p.bed_file, p.gz_out) \
+            if p.bed_file else None
+        dups_stream = files.open_write(p.dups_file, p.gz_out) \
+            if p.dups_opt and p.dups_file else None
+    pile_stream = files.open_write(p.pile_file, p.gz_out) \
+        if p.pile_file else None
 
     pvals: Dict[int, List[Optional[Pileup]]] = {}
     expt_pu: Dict[int, Pileup] = {}
@@ -448,6 +531,8 @@ def run(p: Params) -> None:
     sample = 0
     for si, expt_name in enumerate(expt_files):
         registry.reset_save_flags()
+        if nat is not None:
+            nat.reset_save()
         ctrl_name = ctrl_files[si] if si < len(ctrl_files) else None
         frag_len = 0.0
         for i in (0, 1):
@@ -466,15 +551,22 @@ def run(p: Params) -> None:
             if p.verbose:
                 warn(f"Processing {'control' if i else 'experimental'}"
                      f" file #{sample}: {filename}\n")
-            if dups_stream is not None:
-                dups_stream.write(
-                    f"# {'control' if i else 'experimental'} file "
-                    f"#{sample}: {filename}\n")
+            hdr = (f"# {'control' if i else 'experimental'} file "
+                   f"#{sample}: {filename}\n")
             sink = EventSink()
-            counters, writer, bam = _parse_file(
-                filename, registry, p, sink, bed_stream, dups_stream,
-                bool(i), sample)
-            counters.err_count = writer.err_count
+            if nat is not None:
+                if p.dups_opt and p.dups_file:
+                    _append_text(p.dups_file, p.gz_out, hdr)
+                counters = _parse_file_native(nat, filename, registry,
+                                              p, sink, bool(i), sample)
+                bam = _is_bam(filename)
+            else:
+                if dups_stream is not None:
+                    dups_stream.write(hdr)
+                counters, writer, bam = _parse_file(
+                    filename, registry, p, sink, bed_stream,
+                    dups_stream, bool(i), sample)
+                counters.err_count = writer.err_count
             if p.verbose:
                 log_counts(counters, registry, p, bam)
             if i:

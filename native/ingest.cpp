@@ -1,0 +1,1268 @@
+// genrich-tpu native ingest library.
+//
+// Host-side byte-level pipeline: SAM/BAM parsing, queryname grouping,
+// pair assembly, AS-based multimapper selection, PCR-duplicate
+// removal, and fragment-interval generation.  Produces per-chromosome
+// event arrays (start, end, count) consumed by the device engine.
+//
+// Behavior mirrors the reference Genrich's ingest layers (components
+// 4-12 in SURVEY.md §2; Genrich.c:2490-5181) including float32 score
+// arithmetic, uint32 coordinate wraparound in ATAC windows, the
+// 128-alignment cap, and stable descending-quality duplicate
+// evaluation order.  Written fresh in C++ (std containers, RAII);
+// exposed as a C API for ctypes.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+#include <algorithm>
+#include <zlib.h>
+
+namespace {
+
+constexpr int MAX_ALNS = 128;
+constexpr size_t MAX_LINE = 65520;
+constexpr float NOSCORE = -3.4028234663852886e38f;
+
+// ---- error reporting ------------------------------------------------
+
+struct IngestError {
+  int code;            // reference error-table index
+  std::string msg;     // prefix
+};
+
+thread_local IngestError g_err{-1, ""};
+
+[[noreturn]] void fail(const std::string& msg, int code) {
+  g_err = {code, msg};
+  throw g_err;
+}
+
+// reference error codes used here (errors.py order)
+enum {
+  ERRFILE = 0, ERROPEN = 1, ERRINT = 5, ERRFLOAT = 6, ERRMISM = 14,
+  ERRINFO = 15, ERRSAM = 16, ERRCHROM = 17, ERRHEAD = 18, ERRBAM = 19,
+  ERRCHRLEN = 22, ERRPOS = 24, ERRSORT = 25, ERRTYPE = 26, ERRAUX = 27,
+  ERRLINEAR = 29, ERRINDEX = 30, ERRISSUE = 33, ERRGZIP = 42,
+  ERRCIGAR = 44,
+};
+
+// ---- data model -----------------------------------------------------
+
+struct Chrom {
+  std::string name;
+  uint32_t len = 0;
+  bool skip = false;
+  bool save = false;
+  std::vector<uint32_t> bed;   // merged exclusion bounds [s,e,...]
+  int index = 0;
+};
+
+struct Aln {
+  uint32_t pos0 = 0, pos1 = 0;
+  float score = NOSCORE;
+  bool primary = false, paired = false, full_ = false, first = false,
+       strand = false;
+  int chrom = -1;              // index into chroms
+};
+
+struct Counters {
+  uint64_t count = 0, unmapped = 0, paired = 0, single_ = 0,
+           orphan = 0, paired_pr = 0, single_pr = 0, supp = 0,
+           skipped = 0, low_mapq = 0, sec_pair = 0, sec_single = 0,
+           count_pr = 0, dups_pr = 0, count_dc = 0, dups_dc = 0,
+           count_sn = 0, dups_sn = 0, err_count = 0;
+  double total_len = 0.0;
+};
+
+struct Options {
+  bool single_opt = false, extend_opt = false, avg_ext_opt = false,
+       atac_opt = false, atac_adj = true, dups_opt = false,
+       sort_opt = true, verbose = false;
+  int32_t extend = 0, atac_len5 = 0, atac_len3 = 0, min_mapq = 0;
+  float as_diff = 0.0f;
+};
+
+struct EventBuf {
+  std::vector<int64_t> start, end;
+  std::vector<int32_t> count;
+};
+
+struct ReadRec {                     // dedup store
+  std::string name;
+  uint16_t qual = 0;
+  float score = NOSCORE, score_r2 = NOSCORE;
+  bool first = false;
+  std::vector<Aln> alns, alns_r2;
+};
+
+struct XBedEntry { std::string name; uint32_t p0, p1; };
+
+struct Context {
+  std::vector<Chrom> chroms;
+  std::unordered_map<std::string, int> by_name;
+  std::vector<std::string> xchr;
+  std::vector<XBedEntry> xbed;
+  std::vector<EventBuf> events;      // per chrom, current file
+  Counters ctr;
+  Options opt;
+  bool ctrl = false;
+  int sample = 0;
+  gzFile bed_out = nullptr;          // optional -b log
+  FILE* bed_out_f = nullptr;
+  gzFile dups_out = nullptr;         // optional -R log
+  FILE* dups_out_f = nullptr;
+  // per-template state
+  std::vector<Aln> alns;
+  uint16_t qual_r1 = 0, qual_r2 = 0;
+  std::string read_name;
+  // avg-ext deferral
+  struct Unpair { std::string q; Aln a; uint8_t n; };
+  std::vector<Unpair> unpair;
+  // dedup stores
+  std::vector<ReadRec> reads_pr, reads_dc, reads_sn;
+  std::string err_msg;               // last error text for the C API
+  int err_code = -1;
+};
+
+void outf(Context* c, gzFile gz, FILE* f, const char* fmt, ...) {
+  char buf[4096];
+  va_list ap;
+  va_start(ap, fmt);
+  vsnprintf(buf, sizeof buf, fmt, ap);
+  va_end(ap);
+  if (gz) gzputs(gz, buf);
+  else if (f) fputs(buf, f);
+}
+
+// ---- exclusion regions ---------------------------------------------
+
+std::vector<uint32_t> build_xbed(Context* c, const std::string& name,
+                                 uint32_t len) {
+  // insertion sort by start (new equal-start goes first), clamp, merge
+  std::vector<uint32_t> bed;
+  for (auto& b : c->xbed) {
+    if (b.name != name) continue;
+    if (b.p0 >= len) {
+      if (c->opt.verbose)
+        fprintf(stderr, "Warning! BED interval (%s, %u - %u) ignored\n"
+                "  - located off end of reference %s (length %u)\n",
+                b.name.c_str(), b.p0, b.p1, name.c_str(), len);
+      continue;
+    }
+    size_t j = 0;
+    while (j < bed.size() && !(b.p0 <= bed[j])) j += 2;
+    bed.insert(bed.begin() + j, {b.p0, b.p1});
+  }
+  size_t i = 0;
+  while (i < bed.size()) {
+    if (bed[i + 1] > len) {
+      if (c->opt.verbose)
+        fprintf(stderr, "Warning! BED interval (%s, %u - %u) extends "
+                "past end of ref.\n  - edited to (%s, %u - %u)\n",
+                name.c_str(), bed[i], bed[i + 1], name.c_str(), bed[i],
+                len);
+      bed[i + 1] = len;
+    }
+    if (i && bed[i] <= bed[i - 1]) {
+      if (bed[i + 1] > bed[i - 1]) bed[i - 1] = bed[i + 1];
+      bed.erase(bed.begin() + i, bed.begin() + i + 2);
+    } else {
+      i += 2;
+    }
+  }
+  return bed;
+}
+
+int save_chrom(Context* c, const std::string& name, uint32_t len) {
+  auto it = c->by_name.find(name);
+  if (it != c->by_name.end()) {
+    Chrom& ch = c->chroms[it->second];
+    if (ch.len != len) fail(name, ERRCHRLEN);
+    if (!c->ctrl) ch.save = true;
+    return it->second;
+  }
+  Chrom ch;
+  ch.name = name;
+  ch.len = len;
+  ch.skip = std::find(c->xchr.begin(), c->xchr.end(), name)
+            != c->xchr.end();
+  ch.save = !c->ctrl;
+  if (!ch.skip) ch.bed = build_xbed(c, name, len);
+  ch.index = (int)c->chroms.size();
+  c->by_name.emplace(name, ch.index);
+  c->chroms.push_back(std::move(ch));
+  c->events.emplace_back();
+  return (int)c->chroms.size() - 1;
+}
+
+// ---- interval generation (saveInterval etc.) ------------------------
+
+uint32_t save_interval(Context* c, int ci, int64_t start, int64_t end,
+                       const std::string& qname, uint8_t count) {
+  Chrom& ch = c->chroms[ci];
+  if (start < 0) {
+    if (c->opt.verbose) {
+      if (c->ctr.err_count < (uint64_t)MAX_ALNS)
+        fprintf(stderr, "Warning! Read %s prevented from extending "
+                "below 0 on %s\n", qname.c_str(), ch.name.c_str());
+      c->ctr.err_count++;
+    }
+    start = 0;
+  }
+  if (start >= (int64_t)ch.len)
+    fail("Read " + qname + ", ref. " + ch.name, ERRPOS);
+  if (end > (int64_t)ch.len) {
+    if (c->opt.verbose) {
+      if (c->ctr.err_count < (uint64_t)MAX_ALNS)
+        fprintf(stderr, "Warning! Read %s prevented from extending "
+                "past %u on %s\n", qname.c_str(), ch.len,
+                ch.name.c_str());
+      c->ctr.err_count++;
+    }
+    end = ch.len;
+  }
+  EventBuf& ev = c->events[ci];
+  ev.start.push_back(start);
+  ev.end.push_back(end);
+  ev.count.push_back(count);
+  if (c->bed_out || c->bed_out_f)
+    outf(c, c->bed_out, c->bed_out_f, "%s\t%ld\t%ld\t%s_%d_%c_%d\n",
+         ch.name.c_str(), (long)start, (long)end, qname.c_str(),
+         (int)count, c->ctrl ? 'C' : 'E', c->sample);
+  return (uint32_t)(end - start);
+}
+
+uint32_t save_frag_atac(Context* c, int ci, uint32_t start,
+                        uint32_t end, const std::string& q,
+                        uint8_t count) {
+  if (c->opt.atac_adj) {
+    start = start + 5u;
+    end = end - 5u;
+  }
+  uint32_t len5 = (uint32_t)c->opt.atac_len5;
+  uint32_t len3 = (uint32_t)c->opt.atac_len3;
+  if (start + len3 >= (uint32_t)(int32_t)(end - len3))
+    return save_interval(c, ci, (int32_t)(start - len5),
+                         (int64_t)(uint32_t)(end + len5), q, count);
+  return save_interval(c, ci, (int32_t)(start - len5),
+                       (int64_t)(uint32_t)(start + len3), q, count)
+       + save_interval(c, ci, (int32_t)(end - len3),
+                       (int64_t)(uint32_t)(end + len5), q, count);
+}
+
+uint32_t save_fragment(Context* c, const std::string& q, const Aln& a,
+                       uint8_t count) {
+  uint32_t start = a.pos0, end = a.pos1;
+  if (start > end) std::swap(start, end);
+  if (c->opt.atac_opt)
+    return save_frag_atac(c, a.chrom, start, end, q, count);
+  return save_interval(c, a.chrom, start, end, q, count);
+}
+
+uint32_t save_unpair(Context* c, const std::string& q, const Aln& a0,
+                     uint8_t count, bool extend_opt, int32_t extend) {
+  Aln a = a0;
+  if (extend_opt) {
+    if (a.strand)
+      return save_interval(c, a.chrom, a.pos0,
+                           (int64_t)(uint32_t)(a.pos0 + extend), q,
+                           count);
+    return save_interval(c, a.chrom,
+                         (int32_t)(a.pos1 - (uint32_t)extend),
+                         a.pos1, q, count);
+  }
+  if (c->opt.atac_opt) {
+    uint32_t len5 = (uint32_t)c->opt.atac_len5;
+    uint32_t len3 = (uint32_t)c->opt.atac_len3;
+    if (a.strand) {
+      if (c->opt.atac_adj) a.pos0 += 5u;
+      return save_interval(c, a.chrom, (int32_t)(a.pos0 - len5),
+                           (int64_t)(uint32_t)(a.pos0 + len3), q,
+                           count);
+    }
+    if (c->opt.atac_adj) a.pos1 -= 5u;
+    return save_interval(c, a.chrom, (int32_t)(a.pos1 - len3),
+                         (int64_t)(uint32_t)(a.pos1 + len5), q, count);
+  }
+  return save_interval(c, a.chrom, a.pos0, a.pos1, q, count);
+}
+
+// ---- multimapper selection -----------------------------------------
+
+template <typename Valid>
+void subsample(Context* c, const std::vector<Aln>& alns, Valid valid,
+               uint8_t* count, float* score) {
+  // insertion sort descending; stable for equal scores
+  std::vector<float> arr;
+  arr.reserve(*count);
+  for (const Aln& a : alns)
+    if (valid(a)) {
+      auto it = arr.begin();
+      while (it != arr.end() && !(a.score > *it)) ++it;
+      arr.insert(it, a.score);
+    }
+  *count = *count > 10 ? 10 : (uint8_t)(*count - 1);
+  *score = arr[*count - 1];
+}
+
+int process_pair(Context* c, const std::string& q,
+                 const std::vector<Aln>& alns, float score) {
+  if (score != NOSCORE) score = score - c->opt.as_diff;
+  auto valid = [&](const Aln& a) {
+    return a.paired && a.full_ && a.score >= score
+        && c->chroms[a.chrom].save && !c->chroms[a.chrom].skip;
+  };
+  uint8_t count = 0;
+  for (const Aln& a : alns) if (valid(a)) count++;
+  if (!count) return 0;
+  if (count > 10 || count == 7 || count == 9)
+    subsample(c, alns, valid, &count, &score);
+  auto valid2 = [&](const Aln& a) {
+    return a.paired && a.full_ && a.score >= score
+        && c->chroms[a.chrom].save && !c->chroms[a.chrom].skip;
+  };
+  uint64_t frag_len = 0;
+  uint8_t saved = 0;
+  for (const Aln& a : alns)
+    if (valid2(a)) {
+      frag_len += save_fragment(c, q, a, count);
+      if (++saved == count) break;
+    }
+  if (saved != count)
+    fail("Saved " + std::to_string(saved) + " alignments for read "
+         + q + "; should have been " + std::to_string(count),
+         ERRISSUE);
+  c->ctr.total_len += (double)frag_len / count;
+  return 1;
+}
+
+int process_single(Context* c, const std::string& q,
+                   const std::vector<Aln>& alns, bool extend_opt,
+                   int32_t extend, bool avg_ext, float score,
+                   bool first) {
+  if (score != NOSCORE) score = score - c->opt.as_diff;
+  auto valid = [&](const Aln& a) {
+    return !a.paired && a.first == first && a.score >= score
+        && c->chroms[a.chrom].save && !c->chroms[a.chrom].skip;
+  };
+  uint8_t count = 0;
+  for (const Aln& a : alns) if (valid(a)) count++;
+  if (!count) return 0;
+  if (count > 10 || count == 7 || count == 9)
+    subsample(c, alns, valid, &count, &score);
+  auto valid2 = [&](const Aln& a) {
+    return !a.paired && a.first == first && a.score >= score
+        && c->chroms[a.chrom].save && !c->chroms[a.chrom].skip;
+  };
+  uint8_t saved = 0;
+  for (const Aln& a : alns)
+    if (valid2(a)) {
+      if (avg_ext)
+        c->unpair.push_back({q, a, count});
+      else
+        save_unpair(c, q, a, count, extend_opt, extend);
+      if (++saved == count) break;
+    }
+  if (saved != count)
+    fail("Saved " + std::to_string(saved) + " alignments for read "
+         + q + "; should have been " + std::to_string(count),
+         ERRISSUE);
+  return 1;
+}
+
+// ---- dedup stores ---------------------------------------------------
+
+void copy_alns(Context* c, const std::vector<Aln>& alns, float score,
+               bool first, std::vector<Aln>* dest) {
+  if (score != NOSCORE) score = score - c->opt.as_diff;
+  for (const Aln& a : alns)
+    if (!a.paired && a.first == first && a.score >= score)
+      dest->push_back(a);
+}
+
+void save_alns(Context* c, const std::string& q, bool pair,
+               bool single_r1, bool single_r2, float score_pr,
+               float score_r1, float score_r2) {
+  if (pair) {
+    ReadRec r;
+    r.name = q;
+    r.qual = (uint16_t)std::min<uint32_t>(
+        (uint32_t)c->qual_r1 + c->qual_r2, UINT16_MAX);
+    r.score = score_pr;
+    float score = score_pr;
+    if (score != NOSCORE) score = score - c->opt.as_diff;
+    for (const Aln& a : c->alns)
+      if (a.paired && a.full_ && a.score >= score) {
+        Aln b = a;
+        if (b.pos0 > b.pos1) std::swap(b.pos0, b.pos1);
+        r.alns.push_back(b);
+      }
+    c->reads_pr.push_back(std::move(r));
+  } else if (c->opt.single_opt) {
+    if (single_r1 && single_r2) {
+      ReadRec r;
+      r.name = q;
+      r.first = true;
+      r.score = score_r1;
+      r.score_r2 = score_r2;
+      r.qual = (uint16_t)std::min<uint32_t>(
+          (uint32_t)c->qual_r1 + c->qual_r2, UINT16_MAX);
+      copy_alns(c, c->alns, score_r1, true, &r.alns);
+      copy_alns(c, c->alns, score_r2, false, &r.alns_r2);
+      c->reads_dc.push_back(std::move(r));
+    } else if (single_r1 || single_r2) {
+      ReadRec r;
+      r.name = q;
+      r.first = single_r1;
+      r.score = single_r1 ? score_r1 : score_r2;
+      r.qual = single_r1 ? c->qual_r1 : c->qual_r2;
+      copy_alns(c, c->alns, r.score, single_r1, &r.alns);
+      c->reads_sn.push_back(std::move(r));
+    }
+  }
+}
+
+// ---- per-template processing (processAlns) --------------------------
+
+void process_alns(Context* c) {
+  float score_pr = NOSCORE, score_r1 = NOSCORE, score_r2 = NOSCORE;
+  bool pair = false, s1 = false, s2 = false;
+  for (const Aln& a : c->alns) {
+    if (a.paired) {
+      if (a.full_) {
+        if (!pair || score_pr < a.score) score_pr = a.score;
+        pair = true;
+      } else {
+        c->ctr.orphan++;
+      }
+    } else if (c->opt.single_opt && !pair) {
+      if (a.first && score_r1 <= a.score) { score_r1 = a.score; s1 = true; }
+      else if (!a.first && score_r2 <= a.score) { score_r2 = a.score; s2 = true; }
+    }
+  }
+  if (c->opt.dups_opt) {
+    save_alns(c, c->read_name, pair, s1, s2, score_pr, score_r1,
+              score_r2);
+    return;
+  }
+  if (pair) {
+    c->ctr.paired_pr += process_pair(c, c->read_name, c->alns,
+                                     score_pr);
+  } else if (c->opt.single_opt) {
+    if (s1)
+      c->ctr.single_pr += process_single(
+          c, c->read_name, c->alns, c->opt.extend_opt, c->opt.extend,
+          c->opt.avg_ext_opt, score_r1, true);
+    if (s2)
+      c->ctr.single_pr += process_single(
+          c, c->read_name, c->alns, c->opt.extend_opt, c->opt.extend,
+          c->opt.avg_ext_opt, score_r2, false);
+  }
+}
+
+// ---- alignment assembly (parseAlign) --------------------------------
+
+uint16_t sum_qual(const uint8_t* qual, int len, int offset) {
+  if (len > 0 && qual[0] == 0xFF) return 0;
+  int sum = 0;
+  for (int i = 0; i < len; i++) sum += (int)qual[i] - offset;
+  return sum > 0xFFFF ? 0xFFFF : (uint16_t)sum;
+}
+
+bool parse_align(Context* c, uint16_t flag, int ci, uint32_t pos,
+                 int32_t length, uint32_t pnext, float score,
+                 const uint8_t* qual, int qual_len, int qual_off,
+                 bool qual_star) {
+  if (flag & 0x1) {
+    if ((flag & 0xC0) == 0xC0) fail("", ERRLINEAR);
+    if (!(flag & 0xC0)) fail("", ERRINDEX);
+  }
+  if (c->opt.dups_opt) {
+    if (flag & 0x40) {
+      if (!c->qual_r1 && !qual_star)
+        c->qual_r1 = sum_qual(qual, qual_len, qual_off);
+    } else {
+      if (!c->qual_r2 && !qual_star)
+        c->qual_r2 = sum_qual(qual, qual_len, qual_off);
+    }
+  }
+  Chrom& ch = c->chroms[ci];
+  if ((flag & 0x3) == 0x3) {
+    if (ch.skip || !ch.save) c->ctr.skipped++;
+    else {
+      c->ctr.paired++;
+      if (flag & 0x100) c->ctr.sec_pair++;
+    }
+    for (Aln& a : c->alns) {
+      if (a.paired && !a.full_ && a.chrom == ci
+          && ((flag & 0x40) ? (!a.first && a.pos0 == pos)
+                            : (a.first && a.pos1 == pos))
+          && ((flag & 0x100) ? !a.primary : a.primary)) {
+        if (flag & 0x40)
+          a.pos0 = (flag & 0x10) ? pos + length : pos;
+        else
+          a.pos1 = (flag & 0x10) ? pos + length : pos;
+        if (score == NOSCORE) a.score = NOSCORE;
+        else if (a.score != NOSCORE) a.score = a.score + score;
+        a.full_ = true;
+        return true;
+      }
+    }
+    if ((int)c->alns.size() == MAX_ALNS) return false;
+    Aln a;
+    a.chrom = ci;
+    a.score = score;
+    a.primary = !(flag & 0x100);
+    a.full_ = false;
+    a.paired = true;
+    if (flag & 0x40) {
+      a.pos0 = (flag & 0x10) ? pos + length : pos;
+      a.pos1 = pnext;
+      a.first = true;
+    } else {
+      a.pos0 = pnext;
+      a.pos1 = (flag & 0x10) ? pos + length : pos;
+      a.first = false;
+    }
+    c->alns.push_back(a);
+    return true;
+  }
+  if (ch.skip || !ch.save) c->ctr.skipped++;
+  else {
+    c->ctr.single_++;
+    if (flag & 0x100) c->ctr.sec_single++;
+  }
+  if (c->opt.single_opt) {
+    if ((int)c->alns.size() == MAX_ALNS) return false;
+    Aln a;
+    a.chrom = ci;
+    a.score = score;
+    a.primary = !(flag & 0x100);
+    a.paired = false;
+    a.strand = !(flag & 0x10);
+    a.first = (flag & 0x40) != 0;
+    a.pos0 = pos;
+    a.pos1 = pos + length;
+    c->alns.push_back(a);
+  }
+  return true;
+}
+
+void flush_group(Context* c) {
+  if (!c->read_name.empty()) process_alns(c);
+  c->alns.clear();
+  c->qual_r1 = c->qual_r2 = 0;
+}
+
+// ---- dedup evaluation (findDups) ------------------------------------
+
+struct KeyHash {
+  size_t operator()(const std::tuple<int, uint32_t, uint32_t>& k) const {
+    auto [a, b, cc] = k;
+    size_t h = (size_t)a * 1000003u ^ (size_t)b;
+    return h * 1000003u ^ (size_t)cc;
+  }
+};
+struct Key6Hash {
+  size_t operator()(const std::tuple<int, int, uint32_t, int, int,
+                                     uint32_t>& k) const {
+    auto [a, b, cc, d, e, f] = k;
+    size_t h = (size_t)a;
+    h = h * 1000003u ^ (size_t)b;
+    h = h * 1000003u ^ (size_t)cc;
+    h = h * 1000003u ^ (size_t)d;
+    h = h * 1000003u ^ (size_t)e;
+    h = h * 1000003u ^ (size_t)f;
+    return h;
+  }
+};
+
+std::vector<uint32_t> sort_order(const std::vector<ReadRec>& reads) {
+  std::vector<uint32_t> order(reads.size());
+  for (uint32_t i = 0; i < order.size(); i++) order[i] = i;
+  std::stable_sort(order.begin(), order.end(),
+                   [&](uint32_t a, uint32_t b) {
+                     return reads[a].qual > reads[b].qual;
+                   });
+  return order;
+}
+
+void find_dups(Context* c) {
+  bool dups_verb = c->dups_out || c->dups_out_f;
+  bool seed_singles = c->opt.single_opt && !c->reads_sn.empty();
+  // singleton table: (chrom, pos, strand) -> first name
+  std::unordered_map<std::tuple<int, uint32_t, uint32_t>, std::string,
+                     KeyHash> table_sn;
+  auto check_add = [&](int ch, uint32_t pos, bool strand,
+                       const std::string& name) {
+    table_sn.emplace(std::make_tuple(ch, pos, (uint32_t)strand), name);
+  };
+
+  {  // properly paired
+    std::unordered_map<std::tuple<int, uint32_t, uint32_t>,
+                       std::string, KeyHash> table;
+    for (uint32_t i : sort_order(c->reads_pr)) {
+      ReadRec& r = c->reads_pr[i];
+      const Aln* hit = nullptr;
+      const std::string* match = nullptr;
+      for (const Aln& a : r.alns) {
+        auto it = table.find({a.chrom, a.pos0, a.pos1});
+        if (it != table.end()) { hit = &a; match = &it->second; break; }
+      }
+      c->ctr.count_pr++;
+      if (hit) {
+        c->ctr.dups_pr++;
+        if (dups_verb)
+          outf(c, c->dups_out, c->dups_out_f,
+               "%s\t%s:%u-%u\t%s\tpaired\n", r.name.c_str(),
+               c->chroms[hit->chrom].name.c_str(), hit->pos0,
+               hit->pos1, match->c_str());
+        continue;
+      }
+      for (const Aln& a : r.alns) {
+        table[{a.chrom, a.pos0, a.pos1}] = dups_verb ? r.name : "";
+        if (seed_singles) {
+          check_add(a.chrom, a.pos0, true, dups_verb ? r.name : "");
+          check_add(a.chrom, a.pos1, false, dups_verb ? r.name : "");
+        }
+      }
+      c->ctr.paired_pr += process_pair(c, r.name, r.alns, r.score);
+    }
+  }
+
+  if (!c->opt.single_opt) return;
+
+  bool extend_opt = c->opt.extend_opt;
+  int32_t extend = c->opt.extend;
+  if (c->opt.avg_ext_opt) {
+    if (!c->ctr.paired_pr) {
+      if (c->opt.verbose)
+        fprintf(stderr, "Warning! No paired alignments to calculate "
+                "avg frag length --\n  Printing unpaired alignments "
+                "\"as is\"\n");
+      extend = 0;
+    } else {
+      extend = (int32_t)(c->ctr.total_len / c->ctr.paired_pr + 0.5);
+    }
+    extend_opt = extend != 0;
+  }
+
+  {  // discordant
+    std::unordered_map<std::tuple<int, int, uint32_t, int, int,
+                                  uint32_t>, std::string, Key6Hash>
+        table;
+    for (uint32_t i : sort_order(c->reads_dc)) {
+      ReadRec& r = c->reads_dc[i];
+      bool dup = false;
+      for (const Aln& a : r.alns) {
+        uint32_t pos = a.strand ? a.pos0 : a.pos1;
+        for (const Aln& b : r.alns_r2) {
+          uint32_t pos1 = b.strand ? b.pos0 : b.pos1;
+          auto i1 = table.find({a.chrom, (int)a.strand, pos, b.chrom,
+                                (int)b.strand, pos1});
+          if (i1 != table.end()) {
+            dup = true;
+            if (dups_verb)
+              outf(c, c->dups_out, c->dups_out_f,
+                   "%s\t%s:%u,%c;%s:%u,%c\t%s\tdiscordant\n",
+                   r.name.c_str(), c->chroms[a.chrom].name.c_str(),
+                   pos, a.strand ? '+' : '-',
+                   c->chroms[b.chrom].name.c_str(), pos1,
+                   b.strand ? '+' : '-', i1->second.c_str());
+            break;
+          }
+          auto i2 = table.find({b.chrom, (int)b.strand, pos1, a.chrom,
+                                (int)a.strand, pos});
+          if (i2 != table.end()) {
+            dup = true;
+            if (dups_verb)
+              outf(c, c->dups_out, c->dups_out_f,
+                   "%s\t%s:%u,%c;%s:%u,%c\t%s\tdiscordant\n",
+                   r.name.c_str(), c->chroms[b.chrom].name.c_str(),
+                   pos1, b.strand ? '+' : '-',
+                   c->chroms[a.chrom].name.c_str(), pos,
+                   a.strand ? '+' : '-', i2->second.c_str());
+            break;
+          }
+        }
+        if (dup) break;
+      }
+      c->ctr.count_dc++;
+      if (dup) { c->ctr.dups_dc++; continue; }
+      for (size_t k = 0; k < r.alns.size(); k++) {
+        const Aln& a = r.alns[k];
+        uint32_t pos = a.strand ? a.pos0 : a.pos1;
+        for (size_t j = 0; j < r.alns_r2.size(); j++) {
+          const Aln& b = r.alns_r2[j];
+          uint32_t pos1 = b.strand ? b.pos0 : b.pos1;
+          table[{a.chrom, (int)a.strand, pos, b.chrom, (int)b.strand,
+                 pos1}] = dups_verb ? r.name : "";
+          if (seed_singles) {
+            if (j == 0)
+              check_add(a.chrom, pos, a.strand,
+                        dups_verb ? r.name : "");
+            if (k == 0)
+              check_add(b.chrom, pos1, b.strand,
+                        dups_verb ? r.name : "");
+          }
+        }
+      }
+      c->ctr.single_pr += process_single(c, r.name, r.alns, extend_opt,
+                                         extend, false, r.score, true);
+      c->ctr.single_pr += process_single(c, r.name, r.alns_r2,
+                                         extend_opt, extend, false,
+                                         r.score_r2, false);
+    }
+  }
+
+  {  // singletons
+    for (uint32_t i : sort_order(c->reads_sn)) {
+      ReadRec& r = c->reads_sn[i];
+      bool dup = false;
+      for (const Aln& a : r.alns) {
+        uint32_t pos = a.strand ? a.pos0 : a.pos1;
+        auto it = table_sn.find({a.chrom, pos, (uint32_t)a.strand});
+        if (it != table_sn.end()) {
+          dup = true;
+          if (dups_verb)
+            outf(c, c->dups_out, c->dups_out_f, "%s\t%s:%u,%c\t%s\t"
+                 "single\n", r.name.c_str(),
+                 c->chroms[a.chrom].name.c_str(), pos,
+                 a.strand ? '+' : '-', it->second.c_str());
+          break;
+        }
+      }
+      c->ctr.count_sn++;
+      if (dup) { c->ctr.dups_sn++; continue; }
+      for (const Aln& a : r.alns) {
+        uint32_t pos = a.strand ? a.pos0 : a.pos1;
+        table_sn[{a.chrom, pos, (uint32_t)a.strand}] =
+            dups_verb ? r.name : "";
+      }
+      c->ctr.single_pr += process_single(c, r.name, r.alns, extend_opt,
+                                         extend, false, r.score,
+                                         r.first);
+    }
+  }
+}
+
+void process_avg_ext(Context* c) {
+  int32_t avg = 0;
+  if (!c->ctr.paired_pr) {
+    if (c->opt.verbose)
+      fprintf(stderr, "Warning! No paired alignments to calculate avg "
+              "frag length --\n  Printing unpaired alignments \"as "
+              "is\"\n");
+  } else {
+    avg = (int32_t)(c->ctr.total_len / c->ctr.paired_pr + 0.5);
+  }
+  for (auto& u : c->unpair) {
+    if (!avg)
+      save_interval(c, u.a.chrom, u.a.pos0, u.a.pos1, u.q, u.n);
+    else if (u.a.strand)
+      save_interval(c, u.a.chrom, u.a.pos0,
+                    (int64_t)(uint32_t)(u.a.pos0 + avg), u.q, u.n);
+    else
+      save_interval(c, u.a.chrom, (int32_t)(u.a.pos1 - (uint32_t)avg),
+                    u.a.pos1, u.q, u.n);
+  }
+  c->unpair.clear();
+}
+
+// ---- SAM parsing ----------------------------------------------------
+
+float get_float(const char* s) {
+  char* endp;
+  float v = strtof(s, &endp);
+  if (endp == s || *endp != '\0') fail(s, ERRFLOAT);
+  return v;
+}
+
+long get_long(const char* s) {
+  char* endp;
+  long v = strtol(s, &endp, 10);
+  if (endp == s || *endp != '\0') fail(s, ERRINT);
+  return v;
+}
+
+int parse_cigar(char* cigar, int* offset) {
+  int length = 0, pos = 0;
+  int len = (int)strlen(cigar);
+  for (int i = 0; i < len; i++) {
+    char ch = cigar[i];
+    if (ch < '0' || ch > '9') {
+      cigar[i] = '\0';
+      int op_len = (int)get_long(cigar + pos);
+      switch (ch) {
+        case 'M': case '=': case 'X': length += op_len; break;
+        case 'I': case 'S': length += op_len; *offset -= op_len; break;
+        case 'D': *offset += op_len; break;
+        case 'N': case 'H': case 'P': break;
+        default: {
+          char msg[4] = {'\'', ch, '\'', 0};
+          fail(msg, ERRCIGAR);
+        }
+      }
+      pos = i + 1;
+    }
+  }
+  return length;
+}
+
+int calc_dist(const std::string& q, const char* seq, char* cigar) {
+  int length = strcmp(seq, "*") ? (int)strlen(seq) : 0;
+  int offset = 0;
+  if (strcmp(cigar, "*")) {
+    int l = parse_cigar(cigar, &offset);
+    if (!length) length = l;
+    else if (length != l) fail(q, ERRMISM);
+  } else if (!length) {
+    fail(q, ERRINFO);
+  }
+  return length + offset;
+}
+
+float sam_score(char* extra) {
+  if (!extra) return NOSCORE;
+  char* save1;
+  for (char* field = strtok_r(extra, "\t", &save1); field;
+       field = strtok_r(nullptr, "\t", &save1)) {
+    char* save2;
+    char* tag = strtok_r(field, ":", &save2);
+    if (tag && !strcmp(tag, "AS")) {
+      char* t1 = strtok_r(nullptr, ":", &save2);
+      if (!t1) return NOSCORE;
+      char* t2 = strtok_r(nullptr, ":", &save2);
+      if (!t2) return NOSCORE;
+      return get_float(t2);
+    }
+  }
+  return NOSCORE;
+}
+
+struct Reader {
+  gzFile gz;
+  explicit Reader(const char* path) { gz = gzopen(path, "rb"); }
+  ~Reader() { if (gz) gzclose(gz); }
+  bool line(char* buf, int n) { return gzgets(gz, buf, n) != nullptr; }
+};
+
+void check_sam_header(Context* c, char* line) {
+  char* save;
+  char* tag = strtok_r(line, "\t\n", &save);
+  if (!tag) return;
+  if (!strcmp(tag, "@HD")) {
+    const char* order = nullptr;
+    for (char* f = strtok_r(nullptr, "\t\n", &save); f;
+         f = strtok_r(nullptr, "\t\n", &save))
+      if (!strncmp(f, "SO:", 3)) order = f + 3;
+    if (c->opt.sort_opt && (!order || strcmp(order, "queryname")))
+      fail("", ERRSORT);
+  } else if (!strcmp(tag, "@SQ")) {
+    const char* name = nullptr;
+    const char* len = nullptr;
+    for (char* f = strtok_r(nullptr, "\t\n", &save); f;
+         f = strtok_r(nullptr, "\t\n", &save)) {
+      if (!strncmp(f, "SN:", 3)) name = f + 3;
+      else if (!strncmp(f, "LN:", 3)) len = f + 3;
+    }
+    if (name && len) save_chrom(c, name, (uint32_t)atoll(len));
+  }
+}
+
+uint64_t read_sam(Context* c, Reader& rd) {
+  std::vector<char> buf(MAX_LINE);
+  char* line = buf.data();
+  bool past_header = false;
+  uint64_t count = 0;
+  c->read_name.clear();
+  while (rd.line(line, (int)MAX_LINE)) {
+    if (line[0] == '@') {
+      if (past_header) fail(line, ERRHEAD);
+      check_sam_header(c, line);
+      continue;
+    }
+    past_header = true;
+    // tokenize 11 fields + extra
+    char* save;
+    char* f[11];
+    f[0] = strtok_r(line, "\t", &save);
+    if (!f[0]) fail(line, ERRSAM);
+    for (int i = 1; i < 11; i++) {
+      f[i] = strtok_r(nullptr, "\t", &save);
+      if (!f[i]) fail(f[0], ERRSAM);
+    }
+    char* extra = strtok_r(nullptr, "\n", &save);
+    std::string qname = f[0];
+    uint16_t flag = (uint16_t)get_long(f[1]);
+    const char* rname = f[2];
+    uint32_t pos = (uint32_t)(get_long(f[3]) - 1);
+    uint8_t mapq = (uint8_t)get_long(f[4]);
+    char* cigar = f[5];
+    uint32_t pnext = (uint32_t)(get_long(f[7]) - 1);
+    const char* seq = f[9];
+    char* qual = f[10];
+    // strip trailing newline from qual if extra was absent
+    size_t ql = strlen(qual);
+    if (ql && qual[ql - 1] == '\n') qual[--ql] = '\0';
+
+    count++;
+    if (flag & 0x4) { c->ctr.unmapped++; continue; }
+    if (qname == "*" || !strcmp(rname, "*")) fail(qname, ERRSAM);
+    if (flag & 0xE00) { c->ctr.supp++; continue; }
+    auto it = c->by_name.find(rname);
+    if (it == c->by_name.end()) fail(rname, ERRCHROM);
+    if (mapq < c->opt.min_mapq) { c->ctr.low_mapq++; continue; }
+
+    if (c->read_name.empty()
+        || qname.compare(0, std::string::npos, c->read_name) != 0) {
+      flush_group(c);
+      c->read_name = qname.substr(0, MAX_ALNS);
+    }
+    int length = calc_dist(qname, seq, cigar);
+    float score = sam_score(extra);
+    bool star = !strcmp(qual, "*");
+    if (!parse_align(c, flag, it->second, pos, length, pnext, score,
+                     (const uint8_t*)qual, (int)strlen(qual), 33,
+                     star)
+        && c->opt.verbose)
+      fprintf(stderr, "Warning! Read %s has more than %d alignments\n",
+              qname.c_str(), MAX_ALNS);
+  }
+  flush_group(c);
+  c->read_name.clear();
+  return count;
+}
+
+// ---- BAM parsing ----------------------------------------------------
+
+int32_t read_i32(gzFile gz, bool end_required, bool* eof) {
+  unsigned char b[4];
+  int n = gzread(gz, b, 4);
+  if (n < 4) {
+    if (end_required) fail("", ERRBAM);
+    *eof = true;
+    return 0;
+  }
+  return (int32_t)(b[0] | (b[1] << 8) | (b[2] << 16) | (b[3] << 24));
+}
+
+float bam_score(const uint8_t* extra, int len) {
+  int i = 0;
+  while (i < len - 4) {
+    char t0 = (char)extra[i], t1 = (char)extra[i + 1];
+    char val = (char)extra[i + 2];
+    i += 3;
+    if (t0 == 'A' && t1 == 'S') {
+      switch (val) {
+        case 'c': return (float)(int8_t)extra[i];
+        case 'C': return (float)extra[i];
+        case 's': return (float)(int16_t)(extra[i] | (extra[i+1] << 8));
+        case 'S': return (float)(uint16_t)(extra[i] | (extra[i+1] << 8));
+        case 'i': return (float)(int32_t)(extra[i] | (extra[i+1] << 8)
+                      | (extra[i+2] << 16) | (extra[i+3] << 24));
+        case 'I': return (float)(uint32_t)(extra[i] | (extra[i+1] << 8)
+                      | (extra[i+2] << 16) | ((uint32_t)extra[i+3] << 24));
+        default: {
+          char msg[4] = {'\'', val, '\'', 0};
+          fail(msg, ERRTYPE);
+        }
+      }
+    }
+    switch (val) {
+      case 'A': case 'c': case 'C': i += 1; break;
+      case 's': case 'S': i += 2; break;
+      case 'i': case 'I': case 'f': i += 4; break;
+      case 'Z': while (i < len && extra[i]) i++; i++; break;
+      case 'H': while (i < len && extra[i]) i += 2; i++; break;
+      case 'B': {
+        char sub = (char)extra[i];
+        int size;
+        switch (sub) {
+          case 'c': case 'C': size = 1; break;
+          case 's': case 'S': size = 2; break;
+          case 'i': case 'I': case 'f': size = 4; break;
+          default: {
+            char msg[4] = {'\'', sub, '\'', 0};
+            fail(msg, ERRTYPE);
+          }
+        }
+        int32_t cnt = (int32_t)(extra[i+1] | (extra[i+2] << 8)
+                     | (extra[i+3] << 16) | (extra[i+4] << 24));
+        i += 1 + 4 + size * cnt;
+        break;
+      }
+      default: {
+        char msg[4] = {'\'', val, '\'', 0};
+        fail(msg, ERRTYPE);
+      }
+    }
+    if (i > len) fail("", ERRAUX);
+  }
+  return NOSCORE;
+}
+
+uint64_t read_bam(Context* c, Reader& rd) {
+  gzFile gz = rd.gz;
+  bool eof = false;
+  int32_t l_text = read_i32(gz, true, &eof);
+  std::vector<char> text(l_text + 1);
+  if (l_text > 0 && gzread(gz, text.data(), l_text) != l_text)
+    fail("", ERRBAM);
+  text[l_text] = '\0';
+  // first line: @HD, SO check
+  char* nl = strchr(text.data(), '\n');
+  if (nl) *nl = '\0';
+  {
+    char* save;
+    char* tag = strtok_r(text.data(), "\t", &save);
+    if (!tag || strcmp(tag, "@HD")) fail("", ERRBAM);
+    const char* order = nullptr;
+    for (char* f = strtok_r(nullptr, "\t", &save); f;
+         f = strtok_r(nullptr, "\t", &save))
+      if (!strncmp(f, "SO:", 3)) order = f + 3;
+    if (c->opt.sort_opt && (!order || strcmp(order, "queryname")))
+      fail("", ERRSORT);
+  }
+  int32_t n_ref = read_i32(gz, true, &eof);
+  std::vector<int> idx(n_ref);
+  for (int i = 0; i < n_ref; i++) {
+    int32_t l_name = read_i32(gz, true, &eof);
+    if (l_name < 1 || (size_t)l_name > MAX_LINE) fail("", ERRBAM);
+    std::vector<char> nb(l_name);
+    if (gzread(gz, nb.data(), l_name) != l_name) fail("", ERRBAM);
+    if (nb[l_name - 1] != '\0') fail("", ERRBAM);
+    uint32_t l_ref = (uint32_t)read_i32(gz, true, &eof);
+    idx[i] = save_chrom(c, nb.data(), l_ref);
+  }
+
+  uint64_t count = 0;
+  std::vector<uint8_t> block;
+  c->read_name.clear();
+  for (;;) {
+    eof = false;
+    int32_t block_size = read_i32(gz, false, &eof);
+    if (eof) break;
+    if (block_size < (int32_t)(6 * 4 + 2 * 4)) fail("", ERRBAM);
+    block.resize(block_size);
+    if (gzread(gz, block.data(), block_size) != block_size)
+      fail("", ERRBAM);
+    const uint8_t* b = block.data();
+    auto rd32 = [&](int off) {
+      return (int32_t)(b[off] | (b[off+1] << 8) | (b[off+2] << 16)
+                       | ((uint32_t)b[off+3] << 24));
+    };
+    int32_t ref_id = rd32(0);
+    int32_t pos = rd32(4);
+    uint32_t bin_mq_nl = (uint32_t)rd32(8);
+    int l_read_name = bin_mq_nl & 0xFF;
+    uint8_t mapq = (bin_mq_nl >> 8) & 0xFF;
+    uint32_t flag_nc = (uint32_t)rd32(12);
+    int n_cigar = flag_nc & 0xFFFF;
+    uint16_t flag = (flag_nc >> 16) & 0xFFFF;
+    int32_t l_seq = rd32(16);
+    int32_t next_pos = rd32(24);
+    int off = 32;
+    const char* rn = (const char*)b + off;
+    std::string qname(rn, strnlen(rn, l_read_name));
+    off += l_read_name;
+    const uint8_t* cigar = b + off;
+    off += n_cigar * 4;
+    off += (l_seq + 1) / 2;
+    const uint8_t* qual = b + off;
+    off += l_seq;
+    if (off > block_size) fail("", ERRBAM);
+    const uint8_t* extra = b + off;
+    int extra_len = block_size - off;
+
+    count++;
+    if (flag & 0x4) { c->ctr.unmapped++; continue; }
+    if (qname == "*" || ref_id < 0 || ref_id >= n_ref
+        || idx[ref_id] < 0 || idx[ref_id] >= (int)c->chroms.size()
+        || pos < 0)
+      fail(qname, ERRSAM);
+    if (flag & 0xE00) { c->ctr.supp++; continue; }
+    if (mapq < c->opt.min_mapq) { c->ctr.low_mapq++; continue; }
+
+    if (c->read_name.empty() || qname != c->read_name) {
+      flush_group(c);
+      c->read_name = qname.substr(0, MAX_ALNS);
+    }
+    // calcDistBAM
+    int length = l_seq;
+    for (int k = 0; k < n_cigar; k++) {
+      uint32_t cg = cigar[4*k] | (cigar[4*k+1] << 8)
+                  | (cigar[4*k+2] << 16)
+                  | ((uint32_t)cigar[4*k+3] << 24);
+      uint32_t op = cg & 0xF, opl = cg >> 4;
+      if (op == 1 || op == 4) length -= opl;
+      else if (op == 2) length += opl;
+    }
+    float score = bam_score(extra, extra_len);
+    bool star = l_seq >= 1 && qual[0] == '*'
+                && (l_seq < 2 || qual[1] == 0);
+    if (!parse_align(c, flag, idx[ref_id], (uint32_t)pos, length,
+                     (uint32_t)next_pos, score, qual, l_seq, 0, star)
+        && c->opt.verbose)
+      fprintf(stderr, "Warning! Read %s has more than %d alignments\n",
+              qname.c_str(), MAX_ALNS);
+  }
+  flush_group(c);
+  c->read_name.clear();
+  return count;
+}
+
+}  // namespace
+
+// ---- C API ----------------------------------------------------------
+
+extern "C" {
+
+void* gi_create() { return new Context(); }
+
+void gi_destroy(void* h) { delete (Context*)h; }
+
+const char* gi_error_msg(void* h) {
+  return ((Context*)h)->err_msg.c_str();
+}
+int gi_error_code(void* h) { return ((Context*)h)->err_code; }
+
+void gi_add_xchr(void* h, const char* name) {
+  ((Context*)h)->xchr.push_back(name);
+}
+
+void gi_add_xbed(void* h, const char* name, uint32_t p0, uint32_t p1) {
+  ((Context*)h)->xbed.push_back({name, p0, p1});
+}
+
+void gi_set_options(void* h, int single_opt, int extend_opt,
+                    int32_t extend, int avg_ext_opt, int atac_opt,
+                    int atac_adj, int32_t atac_len5, int32_t atac_len3,
+                    int32_t min_mapq, float as_diff, int dups_opt,
+                    int sort_opt, int verbose) {
+  Options& o = ((Context*)h)->opt;
+  o.single_opt = single_opt;
+  o.extend_opt = extend_opt;
+  o.extend = extend;
+  o.avg_ext_opt = avg_ext_opt;
+  o.atac_opt = atac_opt;
+  o.atac_adj = atac_adj;
+  o.atac_len5 = atac_len5;
+  o.atac_len3 = atac_len3;
+  o.min_mapq = min_mapq;
+  o.as_diff = as_diff;
+  o.dups_opt = dups_opt;
+  o.sort_opt = sort_opt;
+  o.verbose = verbose;
+}
+
+void gi_reset_save(void* h) {
+  for (auto& ch : ((Context*)h)->chroms) ch.save = false;
+}
+
+// returns record count, or -1 on error (query gi_error_*)
+int64_t gi_parse(void* h, const char* path, int is_bam_hint, int ctrl,
+                 int sample, const char* bed_path, int bed_gz,
+                 const char* dups_path, int dups_gz) {
+  Context* c = (Context*)h;
+  c->ctrl = ctrl;
+  c->sample = sample;
+  c->ctr = Counters();
+  for (auto& ev : c->events) { ev.start.clear(); ev.end.clear();
+                               ev.count.clear(); }
+  c->unpair.clear();
+  c->reads_pr.clear();
+  c->reads_dc.clear();
+  c->reads_sn.clear();
+  c->alns.clear();
+  c->qual_r1 = c->qual_r2 = 0;
+
+  c->bed_out = nullptr; c->bed_out_f = nullptr;
+  c->dups_out = nullptr; c->dups_out_f = nullptr;
+  if (bed_path && bed_path[0]) {
+    if (bed_gz) c->bed_out = gzopen(bed_path, "ab");
+    else c->bed_out_f = fopen(bed_path, "a");
+  }
+  if (dups_path && dups_path[0]) {
+    if (dups_gz) c->dups_out = gzopen(dups_path, "ab");
+    else c->dups_out_f = fopen(dups_path, "a");
+  }
+
+  int64_t count = -1;
+  try {
+    Reader rd(path);
+    if (!rd.gz) fail(path, ERROPEN);
+    // peek magic: gz handles both plain and gzip; check BAM magic
+    unsigned char magic[4];
+    int n = gzread(rd.gz, magic, 4);
+    bool bam = (n == 4 && !memcmp(magic, "BAM\1", 4));
+    if (!bam) gzrewind(rd.gz);
+    count = bam ? (int64_t)read_bam(c, rd) : (int64_t)read_sam(c, rd);
+    c->ctr.count = (uint64_t)count;
+    if (c->opt.dups_opt) find_dups(c);
+    else if (c->opt.avg_ext_opt) process_avg_ext(c);
+  } catch (const IngestError& e) {
+    c->err_code = e.code;
+    c->err_msg = e.msg;
+    count = -1;
+  }
+  if (c->bed_out) gzclose(c->bed_out);
+  if (c->bed_out_f) fclose(c->bed_out_f);
+  if (c->dups_out) gzclose(c->dups_out);
+  if (c->dups_out_f) fclose(c->dups_out_f);
+  c->bed_out = nullptr; c->bed_out_f = nullptr;
+  c->dups_out = nullptr; c->dups_out_f = nullptr;
+  return count;
+}
+
+int gi_chrom_count(void* h) {
+  return (int)((Context*)h)->chroms.size();
+}
+const char* gi_chrom_name(void* h, int i) {
+  return ((Context*)h)->chroms[i].name.c_str();
+}
+uint32_t gi_chrom_len(void* h, int i) {
+  return ((Context*)h)->chroms[i].len;
+}
+int gi_chrom_skip(void* h, int i) {
+  return ((Context*)h)->chroms[i].skip;
+}
+int gi_chrom_save(void* h, int i) {
+  return ((Context*)h)->chroms[i].save;
+}
+int gi_chrom_bed_len(void* h, int i) {
+  return (int)((Context*)h)->chroms[i].bed.size();
+}
+void gi_chrom_bed(void* h, int i, uint32_t* out) {
+  auto& bed = ((Context*)h)->chroms[i].bed;
+  memcpy(out, bed.data(), bed.size() * sizeof(uint32_t));
+}
+
+int64_t gi_event_count(void* h, int ci) {
+  return (int64_t)((Context*)h)->events[ci].start.size();
+}
+void gi_events(void* h, int ci, int64_t* start, int64_t* end,
+               int32_t* count) {
+  EventBuf& ev = ((Context*)h)->events[ci];
+  memcpy(start, ev.start.data(), ev.start.size() * sizeof(int64_t));
+  memcpy(end, ev.end.data(), ev.end.size() * sizeof(int64_t));
+  memcpy(count, ev.count.data(), ev.count.size() * sizeof(int32_t));
+}
+
+void gi_counters(void* h, uint64_t* u, double* total_len) {
+  Counters& c = ((Context*)h)->ctr;
+  uint64_t vals[] = {c.count, c.unmapped, c.paired, c.single_,
+                     c.orphan, c.paired_pr, c.single_pr, c.supp,
+                     c.skipped, c.low_mapq, c.sec_pair, c.sec_single,
+                     c.count_pr, c.dups_pr, c.count_dc, c.dups_dc,
+                     c.count_sn, c.dups_sn, c.err_count};
+  memcpy(u, vals, sizeof vals);
+  *total_len = c.total_len;
+}
+
+}  // extern "C"

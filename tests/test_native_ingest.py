@@ -1,0 +1,80 @@
+"""Native C++ ingest vs pure-Python ingest: byte-equal outputs."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+import oracle  # noqa: E402
+
+from genrich_tpu.ingest import native  # noqa: E402
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native lib unavailable")
+
+
+def _both(tmp_path, flags, outputs):
+    d1 = tmp_path / "nat"
+    d2 = tmp_path / "py"
+    d1.mkdir()
+    d2.mkdir()
+    r1 = oracle.run_ours(flags + ["--ingest", "native"], cwd=str(d1))
+    r2 = oracle.run_ours(flags + ["--ingest", "python"], cwd=str(d2))
+    assert r1.returncode == r2.returncode, (r1.stderr[-1500:],
+                                            r2.stderr[-1500:])
+    assert r1.stderr == r2.stderr
+    for name in outputs:
+        assert (d1 / name).exists() == (d2 / name).exists(), name
+        if (d1 / name).exists():
+            assert (d1 / name).read_bytes() == \
+                (d2 / name).read_bytes(), name
+
+
+OUT = ["-o", "out.np", "-f", "out.log", "-k", "out.pile", "-b",
+       "out.bed", "-v"]
+NAMES = ("out.np", "out.log", "out.pile", "out.bed")
+
+
+def test_backends_agree_basic(tmp_path):
+    sam = str(tmp_path / "in.sam")
+    oracle.random_sam(sam, seed=51)
+    _both(tmp_path, ["-t", sam, "-y", "-q", "0.5"] + OUT, NAMES)
+
+
+def test_backends_agree_dedup_atac(tmp_path):
+    sam = str(tmp_path / "in.sam")
+    oracle.random_sam(sam, seed=52)
+    _both(tmp_path,
+          ["-t", sam, "-j", "-x", "-r", "-R", "out.dups"] + OUT,
+          NAMES + ("out.dups",))
+
+
+def test_backends_agree_bam_ctrl(tmp_path):
+    sam = str(tmp_path / "in.sam")
+    ctrl = str(tmp_path / "ctrl.sam")
+    oracle.random_sam(sam, seed=53)
+    oracle.random_sam(ctrl, seed=54, cluster=False, n_pairs=150)
+    bam = str(tmp_path / "in.bam")
+    oracle.sam_to_bam(sam, bam)
+    _both(tmp_path, ["-t", bam, "-c", ctrl, "-y", "-w", "140"] + OUT,
+          NAMES)
+
+
+def test_backends_agree_errors(tmp_path):
+    sam = str(tmp_path / "in.sam")
+    oracle.random_sam(sam, seed=55)
+    bad = str(tmp_path / "bad.sam")
+    with open(sam) as f, open(bad, "w") as g:
+        for i, line in enumerate(f):
+            if not line.startswith("@") and "50M" in line:
+                line = line.replace("50M", "50Q", 1)
+            g.write(line)
+    r1 = oracle.run_ours(["-t", bad, "-o", "o.np", "--ingest",
+                          "native"], cwd=str(tmp_path))
+    r2 = oracle.run_ours(["-t", bad, "-o", "o.np", "--ingest",
+                          "python"], cwd=str(tmp_path))
+    assert r1.returncode == r2.returncode == 1
+    assert r1.stderr == r2.stderr
