@@ -106,33 +106,51 @@ def aggregate_events(start: np.ndarray, end: np.ndarray,
     """Aggregate events into per-position raw class deltas.
 
     Returns (upos, dcov, de8, ds6, dt10), position-sorted and unique.
+    Implemented as sort + cumulative sums with per-run differencing
+    (no scatter-adds): the per-position aggregate is the difference of
+    inclusive cumsums at consecutive run boundaries.
     """
     count = count.astype(np.int64)
     pos = np.concatenate([start, end]).astype(np.int64)
-    dcov = np.concatenate([_ADD_COV[count], _SUB_COV[count]])
-    de8 = np.concatenate([_ADD_E8[count], _SUB_E8[count]])
-    ds6 = np.concatenate([_ADD_S6[count], _SUB_S6[count]])
-    dt10 = np.concatenate([_ADD_T10[count], _SUB_T10[count]])
+    deltas = np.stack([
+        np.concatenate([_ADD_COV[count], _SUB_COV[count]]),
+        np.concatenate([_ADD_E8[count], _SUB_E8[count]]),
+        np.concatenate([_ADD_S6[count], _SUB_S6[count]]),
+        np.concatenate([_ADD_T10[count], _SUB_T10[count]])])
 
     order = np.argsort(pos, kind="stable")
     pos = pos[order]
-    upos, inv = np.unique(pos, return_inverse=True)
-    n = len(upos)
-    out = np.zeros((4, n), np.int64)
-    for i, d in enumerate((dcov, de8, ds6, dt10)):
-        np.add.at(out[i], inv, d[order])
-    return upos, out[0], out[1], out[2], out[3]
+    cums = np.cumsum(deltas[:, order], axis=1)
+    last = np.flatnonzero(np.diff(pos, append=pos[-1] + 1))
+    upos = pos[last]
+    at_last = cums[:, last]
+    agg = np.diff(at_last, axis=1,
+                  prepend=np.zeros((4, 1), np.int64))
+    return upos, agg[0], agg[1], agg[2], agg[3]
 
 
 def _nonzero_entries(start, end, count):
     """(positions, cumulative-value-after-position) for canonical-nonzero
     diff entries, plus the final value (must be 0)."""
-    upos, dcov, de8, ds6, dt10 = aggregate_events(start, end, count)
-    nz = _entry_nonzero(dcov, de8, ds6, dt10)
-    upos, dcov, de8, ds6, dt10 = (a[nz] for a in
-                                  (upos, dcov, de8, ds6, dt10))
-    vals = canon_value_f32(np.cumsum(dcov), np.cumsum(de8),
-                           np.cumsum(ds6), np.cumsum(dt10))
+    count64 = count.astype(np.int64)
+    pos = np.concatenate([start, end]).astype(np.int64)
+    deltas = np.stack([
+        np.concatenate([_ADD_COV[count64], _SUB_COV[count64]]),
+        np.concatenate([_ADD_E8[count64], _SUB_E8[count64]]),
+        np.concatenate([_ADD_S6[count64], _SUB_S6[count64]]),
+        np.concatenate([_ADD_T10[count64], _SUB_T10[count64]])])
+    order = np.argsort(pos, kind="stable")
+    pos = pos[order]
+    cums = np.cumsum(deltas[:, order], axis=1)
+    last = np.flatnonzero(np.diff(pos, append=pos[-1] + 1))
+    upos = pos[last]
+    at_last = cums[:, last]
+    agg = np.diff(at_last, axis=1,
+                  prepend=np.zeros((4, 1), np.int64))
+    nz = _entry_nonzero(agg[0], agg[1], agg[2], agg[3])
+    upos = upos[nz]
+    c = at_last[:, nz]
+    vals = canon_value_f32(c[0], c[1], c[2], c[3])
     return upos, vals
 
 

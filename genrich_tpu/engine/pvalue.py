@@ -142,6 +142,24 @@ def calc_pval(expt: np.ndarray, ctrl: np.ndarray) -> np.ndarray:
     return res.astype(F32)
 
 
+def calc_pval_unique(expt: np.ndarray, ctrl: np.ndarray) -> np.ndarray:
+    """calc_pval via unique (expt, ctrl) pairs.
+
+    Distinct coverage values are few (fraction-quantized pileups, often
+    a constant-lambda control), so evaluating the special functions
+    once per distinct pair and gathering is bit-identical and orders of
+    magnitude cheaper than elementwise evaluation.
+    """
+    expt = np.asarray(expt, F32)
+    ctrl = np.asarray(ctrl, F32)
+    key = (expt.view(np.uint32).astype(np.uint64) << np.uint64(32)) \
+        | ctrl.view(np.uint32).astype(np.uint64)
+    uk, inv = np.unique(key, return_inverse=True)
+    ue = (uk >> np.uint64(32)).astype(np.uint32).view(F32)
+    uc = uk.astype(np.uint32).view(F32)
+    return calc_pval(ue, uc)[inv]
+
+
 def merge_pileups(expt: Pileup, ctrl: Pileup
                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Two-pointer merge of expt/ctrl RLEs (savePval, Genrich.c:1766-1791).
@@ -157,4 +175,4 @@ def merge_pileups(expt: Pileup, ctrl: Pileup
 def pval_pileup(expt: Pileup, ctrl: Pileup) -> Pileup:
     """savePval for one chromosome: merged intervals with -log10 p."""
     ends, ev, cv = merge_pileups(expt, ctrl)
-    return Pileup(ends, calc_pval(ev, cv))
+    return Pileup(ends, calc_pval_unique(ev, cv))

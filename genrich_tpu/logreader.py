@@ -21,6 +21,7 @@ from .io import files
 from .io.bed import load_bed, save_xbed
 from .output.writers import write_peak
 from .params import Params
+from .pipeline import _i64
 from .utils.cfloat import SKIP, fmt_prec, strtof
 
 F32 = np.float32
@@ -236,7 +237,7 @@ def find_peaks_only(p: Params) -> None:
                  f"{'(and q-value) ' if p.qval_opt else ''}"
                  "calculation\n")
         warn("Peak-calling parameters:\n")
-        warn(f"  Genome length: {genome_len}bp\n")
+        warn(f"  Genome length: {_i64(genome_len)}bp\n")
         warn(f"  Significance threshold: "
              f"-log({'q' if p.qval_opt else 'p'}) > "
              f"{fmt_prec(min_pqval, 3)}\n")

@@ -14,8 +14,8 @@ from typing import List, Optional
 import numpy as np
 
 from .errors import (
-    ERRATAC, ERREXTEND, ERRFILE, ERRFLOAT, ERRINT, ERRASDIFF,
-    ERRMINAUC, ERRMINLEN, ERRPARAM, ERRPQVAL, fatal,
+    ERRATAC, ERREXTEND, ERRFILE, ERRFLOAT, ERRGENLEN, ERRINT,
+    ERRASDIFF, ERRMINAUC, ERRMINLEN, ERRPARAM, ERRPQVAL, fatal,
 )
 
 # defaults (Genrich.h:29-36)
@@ -112,6 +112,9 @@ class Params:
             raise fatal("", ERRMINAUC)
         if self.as_diff < 0.0:
             raise fatal("", ERRASDIFF)
+        # Genrich.c:5806's ERRGENLEN check is dead code: genomeLen is
+        # uint64_t, so -L -5 silently wraps (getLong, Genrich.c:130).
+        self.genome_len &= (1 << 64) - 1
         # p/q threshold -> -log10 scale (float32; Genrich.c:5815-5817)
         if self.pqvalue <= np.float32(0.0) or self.pqvalue > np.float32(1.0):
             raise fatal("", ERRPQVAL)

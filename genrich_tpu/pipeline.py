@@ -33,6 +33,12 @@ from .utils.cfloat import SKIP, fmt_f, fmt_prec
 F32 = np.float32
 
 
+def _i64(x: int) -> int:
+    """Render a uint64 through C's %ld (reinterpret as int64)."""
+    x &= (1 << 64) - 1
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
 def _is_bam(filename: str) -> bool:
     """Detect BAM (gzip magic + 'BAM\\1') for the -v counter label."""
     try:
@@ -358,7 +364,7 @@ def find_peaks(registry: ChromRegistry,
     if p.verbose:
         if p.peaks_opt:
             warn("Peak-calling parameters:\n")
-            warn(f"  Genome length: {genome_len}bp\n")
+            warn(f"  Genome length: {_i64(genome_len)}bp\n")
             warn(f"  Significance threshold: -log({'q' if p.qval_opt else 'p'}"
                  f") > {fmt_prec(p.pqvalue, 3)}\n")
             warn(f"  Min. AUC: {fmt_prec(p.min_auc, 3)}\n")
@@ -367,7 +373,7 @@ def find_peaks(registry: ChromRegistry,
             warn(f"  Max. gap between sites: {p.max_gap}bp\n")
         else:
             warn("- peak-calling skipped -\n")
-            warn(f"  Genome length: {genome_len}bp\n")
+            warn(f"  Genome length: {_i64(genome_len)}bp\n")
 
     # q-values
     qvals: Dict[int, Pileup] = {}
