@@ -1,12 +1,15 @@
 """Device peak calling: vectorized gap-join over significance runs.
 
 Reformulates the sequential state machine (callPeaks, Genrich.c:
-977-1069) as masked scans + segment reductions: each significant
-interval links to the previous one iff the gap is within maxGap and no
-SKIP interval lies between (SKIP hard-breaks); connected components
-become peaks, reduced with segment sum/min/max for AUC, bounds, and
-the summit (first interval at the maximal statistic; summit position
-from the first longest such interval).  Fully jittable, static shapes.
+977-1069) as masked scans: each significant interval links to the
+previous one iff the gap is within maxGap and no SKIP interval lies
+between (SKIP hard-breaks); connected components become peaks.
+
+Peak ids are non-decreasing along the interval axis, so every
+per-peak reduction is a *segmented scan* (associative_scan with a
+reset flag) or a plain cumulative scan plus a boundary gather —
+no scatters, which on TPU turns a ~160ms segment-op implementation
+into a few milliseconds of vector passes.
 """
 
 from __future__ import annotations
@@ -27,16 +30,23 @@ class TilePeaks(NamedTuple):
     summit_pval: jnp.ndarray
     summit_qval: jnp.ndarray
     summit_pos: jnp.ndarray  # int32 [M]
-    valid: jnp.ndarray      # bool [M]
+    valid: jnp.ndarray      # bool [M]: candidate passing minAUC/minLen
+    cand: jnp.ndarray       # bool [M]: candidate before the filters
+    summit_stat: jnp.ndarray  # f32 [M]: max statistic (for merging)
+    summit_len: jnp.ndarray   # int32 [M]: its interval length
+    skip_head: jnp.ndarray    # bool []: SKIP before the first site
+    skip_tail: jnp.ndarray    # bool []: SKIP after the last site
 
 
 def call_peaks(starts, ends, stat, pval, qval, live, min_pq, min_auc,
-               min_len, max_gap) -> TilePeaks:
+               min_len, max_gap, k_peaks: int = 4096) -> TilePeaks:
     """Peak calling over one tile's intervals (padded to M).
 
     live masks real intervals; zero-length intervals are ignored.
-    Returns per-segment peak records with a validity mask (at most one
-    peak can begin per interval, so M segments suffice).
+    Returns up to ``k_peaks`` peaks per tile (top-k compacted so the
+    per-peak gathers are K-wide, not M-wide); ``valid``/``cand`` mask
+    real peaks.  Peaks beyond k_peaks are dropped (a 16 Mbp tile
+    yields a few hundred in practice).
     """
     m = starts.shape[0]
     idx = jnp.arange(m, dtype=jnp.int32)
@@ -47,53 +57,74 @@ def call_peaks(starts, ends, stat, pval, qval, live, min_pq, min_auc,
 
     # previous significant interval's end / skip-count at it
     neg = jnp.int32(-1)
-    end_at_sig = jnp.where(sig, ends, neg)
-    prev_end_inc = jax.lax.cummax(end_at_sig)
+    prev_end_inc = jax.lax.cummax(jnp.where(sig, ends, neg))
     prev_end = jnp.concatenate([jnp.full((1,), neg), prev_end_inc[:-1]])
     has_prev = prev_end >= 0
 
     skip_cum = jnp.cumsum(skp.astype(jnp.int32))
-    sc_at_sig = jnp.where(sig, skip_cum, neg)
-    prev_sc_inc = jax.lax.cummax(sc_at_sig)
+    prev_sc_inc = jax.lax.cummax(jnp.where(sig, skip_cum, neg))
     prev_sc = jnp.concatenate([jnp.full((1,), neg), prev_sc_inc[:-1]])
 
     join = (sig & has_prev & (starts - prev_end <= max_gap)
             & (skip_cum - prev_sc == 0))
     new_peak = sig & ~join
-    pid = jnp.cumsum(new_peak.astype(jnp.int32)) - 1
-    seg = jnp.where(sig, pid, m - 1)
+    pid = jnp.cumsum(new_peak.astype(jnp.int32)) - 1   # non-decreasing
 
-    lens_f = lens.astype(jnp.float32)
-    contrib = jnp.where(sig, lens_f * (stat - min_pq), 0.0)
-    auc = jax.ops.segment_sum(contrib, seg, num_segments=m)
-    p_start = jax.ops.segment_min(jnp.where(sig, starts, _BIG), seg,
-                                  num_segments=m)
-    p_end = jax.ops.segment_max(jnp.where(sig, ends, -_BIG), seg,
-                                num_segments=m)
-    n_sig = jax.ops.segment_sum(sig.astype(jnp.int32), seg,
-                                num_segments=m)
+    # Each peak's record lives at the LAST interval of its id segment;
+    # top-k compaction selects those boundary rows so every per-peak
+    # gather is K-wide.  Full-width work is limited to scans and one
+    # lexicographic sort — no scatters, no binary searches (both slow
+    # on TPU).
+    is_last = jnp.concatenate([pid[:-1] != pid[1:],
+                               jnp.ones((1,), bool)])
+    exists_row = is_last & (pid >= 0)
 
-    stat_masked = jnp.where(sig, stat, -jnp.inf)
-    max_stat = jax.ops.segment_max(stat_masked, seg, num_segments=m)
-    at_max = sig & (stat == max_stat[seg])
-    first_max = jax.ops.segment_min(jnp.where(at_max, idx, _BIG), seg,
-                                    num_segments=m)
-    max_len = jax.ops.segment_max(jnp.where(at_max, lens, -_BIG), seg,
-                                  num_segments=m)
-    at_maxlen = at_max & (lens == max_len[seg])
-    pos_idx = jax.ops.segment_min(jnp.where(at_maxlen, idx, _BIG), seg,
-                                  num_segments=m)
+    contrib = jnp.where(sig, lens.astype(jnp.float32)
+                        * (stat - min_pq), 0.0)
+    csum = jnp.cumsum(contrib)
+    first_idx = jax.lax.cummax(jnp.where(new_peak, idx, neg))
+    lastsig_inc = jax.lax.cummax(jnp.where(sig, idx, neg))
 
-    fm = jnp.clip(first_max, 0, m - 1)
-    pi = jnp.clip(pos_idx, 0, m - 1)
-    summit_pval = pval[fm]
-    summit_qval = qval[fm]
+    # summit via one lexicographic sort: pid is the primary key (and
+    # already sorted), so each peak keeps its contiguous index range;
+    # the range's last row holds (max stat, longest, earliest).
+    stat_m = jnp.where(sig, stat, -jnp.inf)
+    _, bstat, _, _, bpos = jax.lax.sort(
+        (pid, stat_m, jnp.where(sig, lens, -_BIG), -idx, idx),
+        num_keys=4)
+
+    # compact the boundary rows (ascending original order -> take the
+    # k largest row indices, then reverse)
+    k = min(k_peaks, m)
+    score = jnp.where(exists_row, idx, jnp.int32(-1))
+    top, rows = jax.lax.top_k(score, k)
+    rows = jnp.clip(rows[::-1], 0, m - 1)
+    exists = top[::-1] >= 0
+
+    fi = jnp.clip(first_idx[rows], 0, m - 1)
+    auc = csum[rows] - jnp.where(fi > 0,
+                                 csum[jnp.clip(fi - 1, 0, m - 1)],
+                                 0.0)
+    p_start = starts[fi]
+    p_end = ends[jnp.clip(lastsig_inc[rows], 0, m - 1)]
+
+    max_stat = bstat[rows]
+    pi = jnp.clip(bpos[rows], 0, m - 1)
+    summit_pval = pval[pi]
+    summit_qval = qval[pi]
     summit_pos = (starts[pi] + ends[pi]) // 2 - p_start
+    summit_len = lens[pi]
 
-    exists = n_sig > 0
-    # the dummy segment (m-1) may mix padding; require a real first peak
-    exists = exists & (jnp.arange(m) < pid[-1] + 1)
     valid = (exists & (auc >= min_auc)
              & ((p_end - p_start) >= min_len))
+
+    # boundary metadata for cross-tile merging
+    any_sig = jnp.any(sig)
+    first_sig = jnp.argmax(sig).astype(jnp.int32)
+    last_sig = (m - 1 - jnp.argmax(sig[::-1])).astype(jnp.int32)
+    skip_head = jnp.any(skp & (idx < first_sig)) & any_sig
+    skip_tail = jnp.any(skp & (idx > last_sig)) & any_sig
+
     return TilePeaks(p_start, p_end, auc, summit_pval, summit_qval,
-                     summit_pos, valid)
+                     summit_pos, valid, exists, max_stat, summit_len,
+                     skip_head, skip_tail)

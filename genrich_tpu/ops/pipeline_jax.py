@@ -90,6 +90,118 @@ def tile_class_totals(start, end, count) -> jnp.ndarray:
     return jnp.sum(add + sub, axis=0)
 
 
+def _excluded(starts, excl):
+    """True for intervals whose start lies inside a -E exclusion.
+
+    excl: int32 [K, 2] (start, end) pairs padded with (tile_len,
+    tile_len); exclusion boundaries must be among the breakpoints for
+    exact interval splitting (callers add them as zero-delta points).
+    """
+    flat = excl.reshape(-1)
+    idx = jnp.searchsorted(flat, starts, side="right")
+    return (idx % 2) == 1
+
+
+def tile_coverage(es, ee, ec, cs, ce, cc, excl, tile_len, carry_e,
+                  carry_c):
+    """Events -> per-interval expt/ctrl coverage for one tile.
+
+    Expt and ctrl events merge into one 8-channel point list and a
+    single sort.  Returns (starts, ends, expt_val, ctrl_raw, excluded,
+    live, frag_len, ctrl_frag); ctrl_raw is the *unscaled* control
+    coverage (scaling needs the global factor, applied in tile_stats).
+    """
+    e_pos, e_del = build_event_points(es, ee, ec)
+    c_pos, c_del = build_event_points(cs, ce, cc)
+    zeros_e = jnp.zeros_like(e_del)
+    zeros_c = jnp.zeros_like(c_del)
+    # exclusion boundaries as zero-delta breakpoints
+    x_pos = excl.reshape(-1)
+    x_del = jnp.zeros((x_pos.shape[0], 8), jnp.int32)
+    pos = jnp.concatenate([jnp.zeros((1,), e_pos.dtype), e_pos, c_pos,
+                           x_pos])
+    deltas = jnp.concatenate([
+        jnp.zeros((1, 8), jnp.int32),
+        jnp.concatenate([e_del, zeros_e], axis=1),
+        jnp.concatenate([zeros_c, c_del], axis=1),
+        x_del])
+    order = jnp.argsort(pos)
+    pos = pos[order]
+    deltas = deltas[order]
+    cum = jnp.cumsum(deltas, axis=0)
+    expt_val = canon_value(cum[:, :4] + carry_e[None, :])
+    ctrl_raw = canon_value(cum[:, 4:] + carry_c[None, :])
+
+    starts = pos
+    ends = jnp.concatenate([pos[1:],
+                            jnp.full((1,), tile_len, pos.dtype)])
+    excluded = _excluded(starts, excl)
+    live = starts < tile_len
+    lens = (ends - starts).astype(jnp.float32)
+    frag_len = jnp.sum(jnp.where(excluded, 0.0, lens * expt_val))
+    ctrl_frag = jnp.sum(jnp.where(excluded, 0.0, lens * ctrl_raw))
+    return (starts, ends, expt_val, ctrl_raw, excluded, live,
+            frag_len, ctrl_frag)
+
+
+def tile_stats(expt_val, ctrl_raw, excluded, factor, lam):
+    """-log10 p per interval from coverage + global factor/lambda.
+
+    Ctrl coverage is max(factor * val, lambda); excluded intervals
+    carry SKIP (hard peak breaks), matching savePileupCtrl/savePval
+    semantics (Genrich.c:2052-2161, 1720-1794) in float32.
+    """
+    ctrl_val = jnp.maximum(factor * ctrl_raw, lam)
+    ctrl_eff = jnp.where(excluded, jnp.float32(-1.0), ctrl_val)
+    return calc_pval(jnp.where(excluded, 0.0, expt_val), ctrl_eff)
+
+
+def analyze_tile_ctrl(es, ee, ec, cs, ce, cc, excl, tile_len,
+                      carry_e, carry_c, lam, factor, min_pq, min_auc,
+                      min_len: int, max_gap: int):
+    """Full-feature single-tile analysis: expt + ctrl + exclusions."""
+    (starts, ends, expt_val, ctrl_raw, excluded, live, frag_len,
+     ctrl_frag) = tile_coverage(es, ee, ec, cs, ce, cc, excl,
+                                tile_len, carry_e, carry_c)
+    pval = tile_stats(expt_val, ctrl_raw, excluded, factor, lam)
+    peaks = call_peaks(starts, ends, pval, pval,
+                       jnp.full_like(pval, -1.0), live,
+                       min_pq, min_auc, min_len, max_gap)
+    return TileResult(peaks, frag_len, jnp.sum(live.astype(jnp.int32))
+                      ), ctrl_frag, pval, starts, ends, live
+
+
+def qvalues_binned(pval, lens, live, genome_len,
+                   n_bins: int = 1 << 16,
+                   max_logp: float = 512.0):
+    """Approximate BH q-values via a fixed histogram (fast path).
+
+    Quantizes -log10 p into n_bins buckets; the per-bucket bp histogram
+    is a fixed-width array, so the cross-tile/host reduction is a
+    single psum.  Returns (bin edges' q-values, per-interval q).
+    Exact distinct-value BH lives in engine/qvalue.py.
+    """
+    scale = n_bins / max_logp
+    bins = jnp.clip((pval * scale).astype(jnp.int32), 0, n_bins - 1)
+    w = jnp.where(live & (pval >= 0), lens.astype(jnp.float32), 0.0)
+    hist = jax.ops.segment_sum(w, bins, num_segments=n_bins)
+    return hist, bins
+
+
+def qvalues_from_hist(hist, genome_len, n_bins: int = 1 << 16,
+                      max_logp: float = 512.0):
+    """Per-bin q-values from the (globally summed) histogram."""
+    # k[b] = 1 + bp at strictly higher p than bin b
+    above = jnp.cumsum(hist[::-1])[::-1]
+    k = 1.0 + above - hist
+    p_bin = (jnp.arange(n_bins, dtype=jnp.float32) + 0.5) \
+        * (max_logp / n_bins)
+    raw = p_bin - jnp.log10(jnp.float32(genome_len)) \
+        + jnp.log10(jnp.maximum(k, 1.0))
+    q = jax.lax.cummin(raw[::-1])[::-1]
+    return jnp.maximum(q, 0.0)
+
+
 def random_events(key, n_events: int, tile_len: int,
                   n_hotspots: int = 8, frac_hot: float = 0.7):
     """Synthetic clustered fragment events for benches and dry-runs."""

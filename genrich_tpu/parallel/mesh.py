@@ -30,7 +30,8 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.pipeline_jax import (TileResult, analyze_tile_core,
-                                tile_class_totals)
+                                qvalues_from_hist, tile_class_totals,
+                                tile_coverage, tile_stats)
 
 AXIS = "tiles"
 
@@ -75,8 +76,9 @@ def _local_step(start, end, count, tile_len, genome_len, min_pq,
     )(start, end, count, carries)
     pk = res.peaks
     return (pk.start, pk.end, pk.auc, pk.summit_pval, pk.summit_qval,
-            pk.summit_pos, pk.valid, res.frag_len, res.n_intervals,
-            lam)
+            pk.summit_pos, pk.valid, pk.cand, pk.summit_stat,
+            pk.summit_len, pk.skip_head, pk.skip_tail,
+            res.frag_len, res.n_intervals, lam)
 
 
 def sharded_analyze(mesh: Mesh, start, end, count, tile_len: int,
@@ -99,11 +101,182 @@ def sharded_analyze(mesh: Mesh, start, end, count, tile_len: int,
                 min_len=min_len, max_gap=max_gap),
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS)),
-        out_specs=tuple([P(AXIS)] * 9) + (P(),),
+        out_specs=tuple([P(AXIS)] * 14) + (P(),),
     )
     out = jax.jit(fn)(start, end, count)
-    peaks = TilePeaks(*out[:7])
-    return TileResult(peaks, out[7], out[8]), out[9]
+    peaks = TilePeaks(*out[:12])
+    return TileResult(peaks, out[12], out[13]), out[14]
+
+
+def _excl_carry_prefix(totals, t):
+    """Exclusive prefix of per-tile class totals across the mesh."""
+    all_totals = jax.lax.all_gather(totals, AXIS)            # [D, t, 4]
+    d = all_totals.shape[0]
+    flat = all_totals.reshape(d * t, 4)
+    excl = jnp.concatenate([jnp.zeros((1, 4), flat.dtype),
+                            jnp.cumsum(flat, axis=0)[:-1]])
+    my = jax.lax.axis_index(AXIS)
+    return jax.lax.dynamic_slice_in_dim(excl, my * t, t)
+
+
+def _local_step_full(es, ee, ec, cs, ce, cc, excl, tile_len,
+                     genome_len, min_pq, min_auc, min_len, max_gap,
+                     qval_opt, n_bins, max_logp):
+    """Full-feature shard body: ctrl scaling, exclusions, q-values.
+
+    Collectives: psum for the expt/ctrl fragment-length reductions
+    (-> lambda and the control scale factor), all_gather for the
+    inter-tile pileup carries, and psum of the fixed-width p-value
+    histogram for the genome-wide BH q-value sweep.
+    """
+    from ..ops.peaks_jax import call_peaks
+
+    t = es.shape[0]
+    cov = jax.vmap(
+        lambda a, b, c, d, e, f, x, ke, kc: tile_coverage(
+            a, b, c, d, e, f, x, tile_len, ke, kc)
+    )(es, ee, ec, cs, ce, cc, excl,
+      _excl_carry_prefix(jax.vmap(tile_class_totals)(es, ee, ec), t),
+      _excl_carry_prefix(jax.vmap(tile_class_totals)(cs, ce, cc), t))
+    (starts, ends, expt_val, ctrl_raw, excluded, live, frag_len,
+     ctrl_frag) = cov
+
+    total_frag = jax.lax.psum(jnp.sum(frag_len), AXIS)
+    total_ctrl = jax.lax.psum(jnp.sum(ctrl_frag), AXIS)
+    lam = total_frag / genome_len
+    factor = jnp.where(total_ctrl > 0, total_frag
+                       / jnp.maximum(total_ctrl, 1e-30), 1.0)
+
+    pval = jax.vmap(lambda e, c, x: tile_stats(e, c, x, factor, lam)
+                    )(expt_val, ctrl_raw, excluded)
+
+    lens = (ends - starts).astype(jnp.float32)
+    if qval_opt:
+        # genome-wide BH via a psum'd fixed-width histogram
+        scale = n_bins / max_logp
+        bins = jnp.clip((pval * scale).astype(jnp.int32), 0,
+                        n_bins - 1)
+        w = jnp.where(live & (pval >= 0), lens, 0.0)
+        hist = jax.ops.segment_sum(w.reshape(-1), bins.reshape(-1),
+                                   num_segments=n_bins)
+        hist = jax.lax.psum(hist, AXIS)
+        qtab = qvalues_from_hist(hist, genome_len, n_bins, max_logp)
+        stat = jnp.where(pval == -1.0, jnp.float32(-1.0), qtab[bins])
+        qv = stat
+    else:
+        stat = pval
+        qv = jnp.full_like(pval, -1.0)
+
+    res = jax.vmap(
+        lambda s, e, st, pv, q, lv: call_peaks(
+            s, e, st, pv, q, lv, min_pq, min_auc, min_len, max_gap)
+    )(starts, ends, stat, pval, qv, live)
+    return (res.start, res.end, res.auc, res.summit_pval,
+            res.summit_qval, res.summit_pos, res.valid, res.cand,
+            res.summit_stat, res.summit_len, res.skip_head,
+            res.skip_tail, frag_len, lam, factor)
+
+
+def sharded_analyze_full(mesh: Mesh, es, ee, ec, cs, ce, cc, excl,
+                         tile_len: int, genome_len: int,
+                         min_pq: float, min_auc: float,
+                         min_len: int = 0, max_gap: int = 100,
+                         qval_opt: bool = False,
+                         n_bins: int = 1 << 16,
+                         max_logp: float = 512.0):
+    """Full pipeline sharded over tiles: ctrl + exclusions + BH.
+
+    All inputs [T, ...] shard over the tile axis; ``excl`` is
+    [T, K, 2] per-tile exclusion intervals padded with tile_len.
+    Returns (TileResult, lambda, factor).
+    """
+    from ..ops.peaks_jax import TilePeaks
+    fn = jax.shard_map(
+        partial(_local_step_full, tile_len=jnp.int32(tile_len),
+                genome_len=jnp.float32(genome_len),
+                min_pq=jnp.float32(min_pq),
+                min_auc=jnp.float32(min_auc), min_len=min_len,
+                max_gap=max_gap, qval_opt=qval_opt, n_bins=n_bins,
+                max_logp=max_logp),
+        mesh=mesh,
+        in_specs=tuple([P(AXIS)] * 7),
+        out_specs=tuple([P(AXIS)] * 13) + (P(), P()),
+    )
+    out = jax.jit(fn)(es, ee, ec, cs, ce, cc, excl)
+    peaks = TilePeaks(*out[:12])
+    return TileResult(peaks, out[12], None), out[13], out[14]
+
+
+def merge_tile_peaks(result: TileResult, tile_len: int,
+                     min_auc: float, min_len: int, max_gap: int):
+    """Host-side merge of peaks straddling tile boundaries.
+
+    Adjacent tiles' edge candidates join when the global gap is within
+    maxGap and no SKIP interval separates them (the same rule the
+    sequential reference applies, callPeaks Genrich.c:1026-1040).
+    Assumes max_gap < tile_len so siteless tiles always break chains.
+    Returns [(start, end, auc, summit_pval, summit_qval, summit_pos)].
+    """
+    assert max_gap < tile_len
+    pk = result.peaks
+    n_tiles = np.asarray(pk.cand).shape[0]
+    cand = np.asarray(pk.cand)
+    starts = np.asarray(pk.start)
+    ends = np.asarray(pk.end)
+    aucs = np.asarray(pk.auc)
+    spv = np.asarray(pk.summit_pval)
+    sqv = np.asarray(pk.summit_qval)
+    spos = np.asarray(pk.summit_pos)
+    sstat = np.asarray(pk.summit_stat)
+    slen = np.asarray(pk.summit_len)
+    skip_head = np.asarray(pk.skip_head)
+    skip_tail = np.asarray(pk.skip_tail)
+
+    out = []
+    pending = None  # dict of current open peak (global coords)
+
+    def close(p):
+        if p is not None and p["auc"] >= np.float32(min_auc) \
+                and p["end"] - p["start"] >= min_len:
+            out.append((p["start"], p["end"], p["auc"], p["pval"],
+                        p["qval"], p["pos"]))
+
+    for t in range(n_tiles):
+        idxs = np.flatnonzero(cand[t])
+        order = idxs[np.argsort(starts[t, idxs], kind="stable")]
+        for j, k in enumerate(order):
+            g_start = int(starts[t, k]) + t * tile_len
+            g_end = int(ends[t, k]) + t * tile_len
+            join = (pending is not None and j == 0
+                    and pending["tile"] == t - 1
+                    and not pending["skip_tail"]
+                    and not bool(skip_head[t])
+                    and g_start - pending["end"] <= max_gap)
+            if join:
+                # merge the boundary candidate into the open peak
+                right_pos = int(spos[t, k]) + (g_start
+                                               - pending["start"])
+                if sstat[t, k] > pending["stat"] or (
+                        sstat[t, k] == pending["stat"]
+                        and int(slen[t, k]) > pending["slen"]):
+                    pending.update(pval=spv[t, k], qval=sqv[t, k],
+                                   pos=right_pos, stat=sstat[t, k],
+                                   slen=int(slen[t, k]))
+                pending["end"] = g_end
+                pending["auc"] = np.float32(pending["auc"]
+                                            + aucs[t, k])
+            else:
+                close(pending)
+                pending = {"start": g_start, "end": g_end,
+                           "auc": np.float32(aucs[t, k]),
+                           "pval": spv[t, k], "qval": sqv[t, k],
+                           "pos": int(spos[t, k]),
+                           "stat": sstat[t, k],
+                           "slen": int(slen[t, k])}
+            pending["tile"] = t
+            pending["skip_tail"] = bool(skip_tail[t])
+    close(pending)
+    return out
 
 
 def split_events_to_tiles(start: np.ndarray, end: np.ndarray,

@@ -8,7 +8,10 @@ q-values, peak calling / logging).  All numeric stages run through
 
 from __future__ import annotations
 
+import os
 import sys
+import time
+from contextlib import contextmanager
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -31,6 +34,24 @@ from .params import MAX_ALNS, Params
 from .utils.cfloat import SKIP, fmt_f, fmt_prec
 
 F32 = np.float32
+
+
+_PROFILE = os.environ.get("GENRICH_TPU_PROFILE", "") not in ("", "0")
+
+
+@contextmanager
+def stage(name: str):
+    """Per-stage wall timer (GENRICH_TPU_PROFILE=1); the reference has
+    no profiling at all (SURVEY.md §5) — this is an extension."""
+    if not _PROFILE:
+        yield
+        return
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        sys.stderr.write(f"[profile] {name}: "
+                         f"{time.perf_counter() - t0:.3f}s\n")
 
 
 def _i64(x: int) -> int:
@@ -560,29 +581,36 @@ def run(p: Params) -> None:
             hdr = (f"# {'control' if i else 'experimental'} file "
                    f"#{sample}: {filename}\n")
             sink = EventSink()
-            if nat is not None:
-                if p.dups_opt and p.dups_file:
-                    _append_text(p.dups_file, p.gz_out, hdr)
-                counters = _parse_file_native(nat, filename, registry,
-                                              p, sink, bool(i), sample)
-                bam = _is_bam(filename)
-            else:
-                if dups_stream is not None:
-                    dups_stream.write(hdr)
-                counters, writer, bam = _parse_file(
-                    filename, registry, p, sink, bed_stream,
-                    dups_stream, bool(i), sample)
-                counters.err_count = writer.err_count
+            with stage(f"parse {filename}"):
+                if nat is not None:
+                    if p.dups_opt and p.dups_file:
+                        _append_text(p.dups_file, p.gz_out, hdr)
+                    counters = _parse_file_native(
+                        nat, filename, registry, p, sink, bool(i),
+                        sample)
+                    bam = _is_bam(filename)
+                else:
+                    if dups_stream is not None:
+                        dups_stream.write(hdr)
+                    counters, writer, bam = _parse_file(
+                        filename, registry, p, sink, bed_stream,
+                        dups_stream, bool(i), sample)
+                    counters.err_count = writer.err_count
             if p.verbose:
                 log_counts(counters, registry, p, bam)
             if i:
-                ctrl_pu = _save_pileup_ctrl(registry, sink, frag_len,
-                                            p.genome_len, p.verbose)
+                with stage("pileup ctrl"):
+                    ctrl_pu = _save_pileup_ctrl(
+                        registry, sink, frag_len, p.genome_len,
+                        p.verbose)
             else:
-                expt_pu, frag_len = _save_pileup_expt(registry, sink)
+                with stage("pileup expt"):
+                    expt_pu, frag_len = _save_pileup_expt(registry,
+                                                          sink)
 
-        _save_pval(registry, sample, expt_pu, ctrl_pu, pvals,
-                   pile_stream, expt_name, ctrl_name)
+        with stage("p-values"):
+            _save_pval(registry, sample, expt_pu, ctrl_pu, pvals,
+                       pile_stream, expt_name, ctrl_name)
         sample += 1
 
     out_stream = files.open_write(p.out_file, p.gz_out) \
@@ -590,8 +618,9 @@ def run(p: Params) -> None:
     log_stream = files.open_write(p.log_file, p.gz_out) \
         if p.log_file else None
 
-    find_peaks(registry, pvals, sample, expt_pu, ctrl_pu, out_stream,
-               log_stream, p)
+    with stage("findPeaks"):
+        find_peaks(registry, pvals, sample, expt_pu, ctrl_pu,
+                   out_stream, log_stream, p)
 
     for s in (out_stream, log_stream, pile_stream, bed_stream,
               dups_stream):
