@@ -19,8 +19,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-_BIG = jnp.int32(2**31 - 1)
-SKIP = jnp.float32(-1.0)
+import numpy as np
+
+_BIG = np.int32(2**31 - 1)
+SKIP = np.float32(-1.0)
 
 
 class TilePeaks(NamedTuple):

@@ -14,21 +14,27 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 # per-class raw contributions indexed by count N (see engine/pileup.py)
-_ADD = jnp.array([
+# (numpy at module level: jnp constants would initialize the backend
+# on import, breaking non-jax CLI paths)
+_ADD = np.array([
     # cov e8 s6 t10
     [0, 0, 0, 0], [1, 0, 0, 0], [0, 4, 0, 0], [0, 0, 2, 0],
     [0, 2, 0, 0], [0, 0, 0, 2], [0, 0, 1, 0], [0, 0, 0, 0],
-    [0, 1, 0, 0], [0, 0, 0, 0], [0, 0, 0, 1]], jnp.int32)
-_SUB = jnp.array([
+    [0, 1, 0, 0], [0, 0, 0, 0], [0, 0, 0, 1]], np.int32)
+_SUB = np.array([
     [0, 0, 0, 0], [-1, 0, 0, 0], [-1, 4, 0, 0], [-1, 4, 1, 0],
     [-1, 6, 0, 0], [-1, 4, 0, 3], [-1, 4, 2, 0], [0, 0, 0, 0],
-    [-1, 7, 0, 0], [0, 0, 0, 0], [-1, 4, 0, 4]], jnp.int32)
+    [-1, 7, 0, 0], [0, 0, 0, 0], [-1, 4, 0, 4]], np.int32)
 
 
 def event_deltas(count: jnp.ndarray):
     """Map event count codes to (add, sub) class-delta rows."""
-    return _ADD[count], _SUB[count]
+    add = jnp.asarray(_ADD)
+    sub = jnp.asarray(_SUB)
+    return add[count], sub[count]
 
 
 def canon_value(cum: jnp.ndarray) -> jnp.ndarray:

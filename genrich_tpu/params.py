@@ -82,7 +82,7 @@ class Params:
     sort_opt: bool = True               # cleared by -S
     genome_len: int = 0                 # -L
     verbose: bool = False               # -v
-    engine: str = "jax"                 # extension: jax | numpy compute engine
+    engine: str = "exact"               # extension: exact | jax engine
     ingest: str = "auto"                # extension: auto | native | python
 
     def validate(self) -> None:
@@ -158,8 +158,10 @@ def parse_args(argv: List[str]) -> Params:
             p.verbose = True
             i += 1
             continue
-        if arg == "--engine":  # extension flag (not in reference)
+        if arg == "--engine":  # extension flag: exact | jax
             p.engine = argv[i + 1]
+            if p.engine not in ("exact", "jax"):
+                raise fatal(f"--engine {p.engine}", ERRPARAM)
             i += 2
             continue
         if arg == "--ingest":  # extension flag: auto | native | python

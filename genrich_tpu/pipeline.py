@@ -259,6 +259,74 @@ def _save_pileup_noctrl(registry: ChromRegistry, frag_len: float,
     return out
 
 
+def _replicate_jax(eng, registry: ChromRegistry,
+                   expt_sink: EventSink,
+                   ctrl_sink: Optional[EventSink], p: Params,
+                   n: int, pvals: Dict[int, List[Optional[Pileup]]],
+                   pile_stream, expt_name: str,
+                   ctrl_name: Optional[str]):
+    """Device replicate computation (--engine jax, float32).
+
+    Pileups and p-values run as the fused JAX kernel per chromosome;
+    the RLE results feed the same downstream host stages.
+    """
+    genome_len = p.genome_len or _compute_genome_len(
+        registry, lambda c: not c.skip and c.save)
+    if not genome_len:
+        raise fatal("", ERRGEN)
+
+    frag = 0.0
+    ctrl_frag = 0.0
+    for c in registry:
+        if c.skip or not c.save:
+            continue
+        ev = _chrom_events(expt_sink, c.index)
+        cv = _chrom_events(ctrl_sink, c.index) if ctrl_sink else None
+        if ev is None and cv is None:
+            continue
+        fe, fc = eng.chrom_frag_sums(ev, cv, c.bed, c.length)
+        frag += fe
+        ctrl_frag += fc
+    if frag == 0.0:
+        raise fatal("", ERREXPT)
+    lam = F32(frag / genome_len)
+    factor = F32(1.0) if ctrl_frag == 0.0 else F32(frag / ctrl_frag)
+    if p.verbose:
+        warn(f"  Background pileup value: {fmt_f(lam)}\n")
+        if ctrl_sink is not None:
+            warn(f"  Scaling factor for control pileup: "
+                 f"{fmt_f(factor)}\n")
+
+    if pile_stream is not None:
+        writers.pile_header(pile_stream, expt_name, ctrl_name)
+    expt_out: Dict[int, Pileup] = {}
+    ctrl_out: Dict[int, Pileup] = {}
+    for c in registry:
+        if c.skip:
+            continue
+        lst = pvals.setdefault(c.index, [])
+        while len(lst) < n:
+            lst.append(None)
+        if not c.save:
+            lst.append(None)
+            continue
+        ev = _chrom_events(expt_sink, c.index)
+        cv = _chrom_events(ctrl_sink, c.index) if ctrl_sink else None
+        epu, cpu_, pu = eng.chrom_pvalues(ev, cv, c.bed, c.length,
+                                          float(lam), float(factor))
+        expt_out[c.index] = epu
+        ctrl_out[c.index] = cpu_
+        lst.append(pu)
+        if pile_stream is not None:
+            start = 0
+            for m in range(len(pu.end)):
+                writers.pile_row(pile_stream, c.name, start,
+                                 int(pu.end[m]), epu.cov[m],
+                                 cpu_.cov[m], pu.cov[m])
+                start = int(pu.end[m])
+    return expt_out, ctrl_out
+
+
 def _save_pval(registry: ChromRegistry, n: int,
                expt: Dict[int, Pileup], ctrl: Dict[int, Pileup],
                pvals: Dict[int, List[Optional[Pileup]]],
@@ -555,6 +623,11 @@ def run(p: Params) -> None:
     pvals: Dict[int, List[Optional[Pileup]]] = {}
     expt_pu: Dict[int, Pileup] = {}
     ctrl_pu: Dict[int, Pileup] = {}
+    jax_engine = None
+    if p.engine == "jax":
+        from .engine.jax_bridge import JaxEngine
+        jax_engine = JaxEngine()
+
     sample = 0
     for si, expt_name in enumerate(expt_files):
         registry.reset_save_flags()
@@ -562,6 +635,7 @@ def run(p: Params) -> None:
             nat.reset_save()
         ctrl_name = ctrl_files[si] if si < len(ctrl_files) else None
         frag_len = 0.0
+        sinks: List[Optional[EventSink]] = [None, None]
         for i in (0, 1):
             filename = expt_name
             if i:
@@ -572,8 +646,10 @@ def run(p: Params) -> None:
                     if p.verbose:
                         warn(f"- control file #{sample} not "
                              f"provided -\n")
-                    ctrl_pu = _save_pileup_noctrl(
-                        registry, frag_len, p.genome_len, p.verbose)
+                    if jax_engine is None:
+                        ctrl_pu = _save_pileup_noctrl(
+                            registry, frag_len, p.genome_len,
+                            p.verbose)
                     break
             if p.verbose:
                 warn(f"Processing {'control' if i else 'experimental'}"
@@ -598,6 +674,9 @@ def run(p: Params) -> None:
                     counters.err_count = writer.err_count
             if p.verbose:
                 log_counts(counters, registry, p, bam)
+            sinks[i] = sink
+            if jax_engine is not None:
+                continue
             if i:
                 with stage("pileup ctrl"):
                     ctrl_pu = _save_pileup_ctrl(
@@ -608,9 +687,15 @@ def run(p: Params) -> None:
                     expt_pu, frag_len = _save_pileup_expt(registry,
                                                           sink)
 
-        with stage("p-values"):
-            _save_pval(registry, sample, expt_pu, ctrl_pu, pvals,
-                       pile_stream, expt_name, ctrl_name)
+        if jax_engine is not None:
+            with stage("device pileup+p-values"):
+                expt_pu, ctrl_pu = _replicate_jax(
+                    jax_engine, registry, sinks[0], sinks[1], p,
+                    sample, pvals, pile_stream, expt_name, ctrl_name)
+        else:
+            with stage("p-values"):
+                _save_pval(registry, sample, expt_pu, ctrl_pu, pvals,
+                           pile_stream, expt_name, ctrl_name)
         sample += 1
 
     out_stream = files.open_write(p.out_file, p.gz_out) \
