@@ -33,25 +33,28 @@ def main() -> None:
     n_tiles = (GENOME_LEN + TILE_LEN - 1) // TILE_LEN
 
     rng = np.random.RandomState(0)
-    hot = rng.randint(0, TILE_LEN - 2000, 64)
-    which = rng.randint(0, 64, EVENTS_PER_TILE)
-    is_hot = rng.rand(EVENTS_PER_TILE) < 0.7
-    base = np.where(is_hot,
-                    hot[which] + rng.randint(0, 1500, EVENTS_PER_TILE),
-                    rng.randint(0, TILE_LEN - 500, EVENTS_PER_TILE))
-    frag = rng.randint(80, 400, EVENTS_PER_TILE)
-    start = np.clip(base, 0, TILE_LEN - 1).astype(np.int32)
-    end = np.clip(base + frag, 1, TILE_LEN).astype(np.int32)
-    count = rng.choice([1, 1, 1, 1, 2, 4], EVENTS_PER_TILE) \
-        .astype(np.int32)
-
-    dev_start = jnp.asarray(start)
-    dev_end = jnp.asarray(end)
-    dev_count = jnp.asarray(count)
+    variants = []
+    for _ in range(4):   # distinct per-tile event sets, cycled
+        hot = rng.randint(0, TILE_LEN - 2000, 64)
+        which = rng.randint(0, 64, EVENTS_PER_TILE)
+        is_hot = rng.rand(EVENTS_PER_TILE) < 0.7
+        base = np.where(is_hot,
+                        hot[which] + rng.randint(0, 1500,
+                                                 EVENTS_PER_TILE),
+                        rng.randint(0, TILE_LEN - 500,
+                                    EVENTS_PER_TILE))
+        frag = rng.randint(80, 400, EVENTS_PER_TILE)
+        start = np.clip(base, 0, TILE_LEN - 1).astype(np.int32)
+        end = np.clip(base + frag, 1, TILE_LEN).astype(np.int32)
+        count = rng.choice([1, 1, 1, 1, 2, 4], EVENTS_PER_TILE) \
+            .astype(np.int32)
+        variants.append((jnp.asarray(start), jnp.asarray(end),
+                         jnp.asarray(count)))
     lam = np.float32(EVENTS_PER_TILE * 200.0 / TILE_LEN)
 
-    def step(seed):
-        return analyze_tile(dev_start, dev_end, dev_count,
+    def step(i):
+        s, e, c = variants[i % len(variants)]
+        return analyze_tile(s, e, c,
                             jnp.int32(TILE_LEN), jnp.float32(lam),
                             jnp.float32(2.0), jnp.float32(20.0),
                             0, 100)

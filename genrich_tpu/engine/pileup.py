@@ -299,8 +299,12 @@ def exact_sum_f64(terms: np.ndarray) -> float:
     """Sequential left-to-right float64 accumulation of float32 terms.
 
     Matches C's ``double += float`` loop exactly (numpy's pairwise sum
-    does not).  Terms are promoted one at a time.
+    does not).  Uses the native helper when built; Python fallback.
     """
+    from ..ingest.native import exact_sum_f32
+    total = exact_sum_f32(terms)
+    if total is not None:
+        return total
     total = 0.0
     for t in terms.astype(np.float64):
         total += t

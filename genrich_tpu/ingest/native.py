@@ -92,6 +92,44 @@ def _load(build: bool = True):
     return lib
 
 
+def exact_sum_f32(terms) -> Optional[float]:
+    """Sequential double += float reduction in C; None if lib absent."""
+    import numpy as np
+    try:
+        lib = _load(build=False)
+    except Exception:
+        return None
+    if not hasattr(lib, "_sum_ready"):
+        lib.gi_exact_sum_f32.restype = ctypes.c_double
+        lib.gi_exact_sum_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+        lib._sum_ready = True
+    t = np.ascontiguousarray(terms, np.float32)
+    return lib.gi_exact_sum_f32(
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(t))
+
+
+def log10f_arr_native(x) -> Optional["np.ndarray"]:
+    """Elementwise libm log10f in C; None if lib absent."""
+    import numpy as np
+    try:
+        lib = _load(build=False)
+    except Exception:
+        return None
+    if not hasattr(lib, "_log_ready"):
+        lib.gi_log10f.argtypes = [ctypes.POINTER(ctypes.c_float),
+                                  ctypes.POINTER(ctypes.c_float),
+                                  ctypes.c_int64]
+        lib._log_ready = True
+    xin = np.ascontiguousarray(x, np.float32)
+    out = np.empty(xin.shape, np.float32)
+    lib.gi_log10f(
+        xin.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        xin.size)
+    return out
+
+
 _COUNTER_FIELDS = ("count", "unmapped", "paired", "single", "orphan",
                    "paired_pr", "single_pr", "supp", "skipped",
                    "low_mapq", "sec_pair", "sec_single", "count_pr",

@@ -57,14 +57,40 @@ def canon_value(cum: jnp.ndarray) -> jnp.ndarray:
     return v
 
 
+def pack_deltas(deltas: jnp.ndarray) -> jnp.ndarray:
+    """Pack 4 (or 8) delta channels into one int32 payload.
+
+    Field widths: cov+1 in 2 bits, e8 in 3, s6 in 2, t10 in 3 — 10
+    bits per 4-channel set, so an expt+ctrl pair fits in 20 bits.
+    Halves the sort operand count (the sort dominates tile time).
+    """
+    n = deltas.shape[-1] // 4
+    packed = jnp.zeros(deltas.shape[:-1], jnp.int32)
+    for g in range(n):
+        b = deltas[..., 4 * g:4 * g + 4]
+        grp = ((b[..., 0] + 1) | (b[..., 1] << 2) | (b[..., 2] << 5)
+               | (b[..., 3] << 7))
+        packed = packed | (grp << (10 * g))
+    return packed
+
+
+def unpack_deltas(packed: jnp.ndarray, groups: int = 1) -> jnp.ndarray:
+    chans = []
+    for g in range(groups):
+        grp = (packed >> (10 * g)) & 0x3FF
+        chans += [(grp & 3) - 1, (grp >> 2) & 7, (grp >> 5) & 3,
+                  (grp >> 7) & 7]
+    return jnp.stack(chans, axis=-1)
+
+
 def sort_events(pos: jnp.ndarray, deltas: jnp.ndarray):
     """Sort events by position, carrying the 4 delta channels.
 
     pos: int32 [M]; deltas: int32 [M, 4].  Returns sorted (pos, deltas).
     """
-    out = jax.lax.sort((pos, deltas[:, 0], deltas[:, 1], deltas[:, 2],
-                        deltas[:, 3]), num_keys=1, is_stable=False)
-    return out[0], jnp.stack(out[1:], axis=-1)
+    pos_s, packed_s = jax.lax.sort((pos, pack_deltas(deltas)),
+                                   num_keys=1, is_stable=False)
+    return pos_s, unpack_deltas(packed_s, 1)
 
 
 def interval_values(pos: jnp.ndarray, deltas: jnp.ndarray,

@@ -125,9 +125,10 @@ def tile_coverage(es, ee, ec, cs, ce, cc, excl, tile_len, carry_e,
         jnp.concatenate([e_del, zeros_e], axis=1),
         jnp.concatenate([zeros_c, c_del], axis=1),
         x_del])
-    order = jnp.argsort(pos)
-    pos = pos[order]
-    deltas = deltas[order]
+    from .pileup_jax import pack_deltas, unpack_deltas
+    pos, packed = jax.lax.sort((pos, pack_deltas(deltas)),
+                               num_keys=1, is_stable=False)
+    deltas = unpack_deltas(packed, 2)
     cum = jnp.cumsum(deltas, axis=0)
     expt_val = canon_value(cum[:, :4] + carry_e[None, :])
     ctrl_raw = canon_value(cum[:, 4:] + carry_c[None, :])

@@ -153,12 +153,13 @@ def _local_step_full(es, ee, ec, cs, ce, cc, excl, tile_len,
     lens = (ends - starts).astype(jnp.float32)
     if qval_opt:
         # genome-wide BH via a psum'd fixed-width histogram
+        # (MXU one-hot matmuls instead of a scatter)
+        from ..ops.histogram import histogram_weighted
         scale = n_bins / max_logp
         bins = jnp.clip((pval * scale).astype(jnp.int32), 0,
                         n_bins - 1)
         w = jnp.where(live & (pval >= 0), lens, 0.0)
-        hist = jax.ops.segment_sum(w.reshape(-1), bins.reshape(-1),
-                                   num_segments=n_bins)
+        hist = histogram_weighted(bins, w, n_bins)
         hist = jax.lax.psum(hist, AXIS)
         qtab = qvalues_from_hist(hist, genome_len, n_bins, max_logp)
         stat = jnp.where(pval == -1.0, jnp.float32(-1.0), qtab[bins])

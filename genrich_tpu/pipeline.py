@@ -182,7 +182,7 @@ def _save_pileup_expt(registry: ChromRegistry, sink: EventSink
                       ) -> tuple:
     """savePileupExpt over all chroms; returns (pileups, fragLen)."""
     out: Dict[int, Pileup] = {}
-    frag_len = 0.0
+    all_terms = []
     for c in registry:
         if c.skip or not c.save:
             continue
@@ -192,8 +192,11 @@ def _save_pileup_expt(registry: ChromRegistry, sink: EventSink
             continue
         pu, terms = expt_pileup(ev[0], ev[1], ev[2], c.length, c.bed)
         out[c.index] = pu
-        for t in terms.astype(np.float64):
-            frag_len += t
+        all_terms.append(terms)
+    from .engine.pileup import exact_sum_f64
+    frag_len = exact_sum_f64(
+        np.concatenate(all_terms) if all_terms
+        else np.zeros(0, F32))
     if frag_len == 0.0:
         raise fatal("", ERREXPT)
     return out, frag_len
@@ -206,16 +209,19 @@ def _save_pileup_ctrl(registry: ChromRegistry, sink: EventSink,
     lam = _calc_lambda(registry, frag_len, genome_len)
     if verbose:
         warn(f"  Background pileup value: {fmt_f(lam)}\n")
-    ctrl_frag = 0.0
+    ctrl_terms = []
     for c in registry:
         if c.skip or not c.save:
             continue
         ev = _chrom_events(sink, c.index)
         if ev is None:
             continue
-        for t in ctrl_frag_terms(ev[0], ev[1], ev[2], c.length,
-                                 c.bed).astype(np.float64):
-            ctrl_frag += t
+        ctrl_terms.append(ctrl_frag_terms(ev[0], ev[1], ev[2],
+                                          c.length, c.bed))
+    from .engine.pileup import exact_sum_f64
+    ctrl_frag = exact_sum_f64(
+        np.concatenate(ctrl_terms) if ctrl_terms
+        else np.zeros(0, F32))
     factor = calc_factor(frag_len, ctrl_frag)
     if verbose:
         warn(f"  Scaling factor for control pileup: {fmt_f(factor)}\n")

@@ -60,8 +60,13 @@ def log10f_arr(x: np.ndarray) -> np.ndarray:
     This glibc's log10f is *not* correctly rounded (differs from
     float64-log10-then-round on ~5% of values), so matching the
     reference binary requires calling the real libm function per
-    element.  (The native ops library will batch this later.)
+    element.  The native ingest library batches the loop; the ctypes
+    fallback covers builds without it.
     """
+    from ..ingest.native import log10f_arr_native
+    out = log10f_arr_native(x)
+    if out is not None:
+        return out
     import ctypes
     lib = _get_libm()
     f = lib.log10f

@@ -12,6 +12,7 @@
 // evaluation order.  Written fresh in C++ (std containers, RAII);
 // exposed as a C API for ctypes.
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -1263,6 +1264,25 @@ void gi_counters(void* h, uint64_t* u, double* total_len) {
                      c.count_sn, c.dups_sn, c.err_count};
   memcpy(u, vals, sizeof vals);
   *total_len = c.total_len;
+}
+
+}  // extern "C"
+
+// ---- numeric helpers (exact-order reductions for the engine) --------
+
+extern "C" {
+
+// double += (float)term sequential accumulation (C operation order)
+double gi_exact_sum_f32(const float* terms, int64_t n) {
+  double total = 0.0;
+  for (int64_t i = 0; i < n; i++) total += terms[i];
+  return total;
+}
+
+// elementwise libm log10f (this glibc's log10f is not correctly
+// rounded; parity requires the real function)
+void gi_log10f(const float* in, float* out, int64_t n) {
+  for (int64_t i = 0; i < n; i++) out[i] = log10f(in[i]);
 }
 
 }  // extern "C"
