@@ -56,15 +56,22 @@ def _bd0(x: np.ndarray, np_: np.ndarray) -> np.ndarray:
         v2 = v * v
         active = near & ~tiny
         res = s.copy()
+        converged = np.zeros(x.shape, bool)
         for j in range(1, 1000):
             if not active.any():
                 break
             ej = np.where(active, ej * v2, ej)
             s1 = np.where(active, res + ej / (2 * j + 1), res)
             done = active & (s1 == res)
+            converged |= done
             res = np.where(active, s1, res)
             active = active & ~done
-    return np.where(near, np.where(tiny, s, res), fallback)
+    # elements that never converge fall through to the direct formula
+    # (reference: the for loop exits to the final return, bd0
+    # Genrich.c:421-429)
+    use_series = near & ~tiny & converged
+    return np.where(near & tiny, s,
+                    np.where(use_series, res, fallback))
 
 
 def _stirlerr(n: np.ndarray) -> np.ndarray:
