@@ -132,6 +132,11 @@ def aggregate_events(start: np.ndarray, end: np.ndarray,
 def _nonzero_entries(start, end, count):
     """(positions, cumulative-value-after-position) for canonical-nonzero
     diff entries, plus the final value (must be 0)."""
+    from ..ingest.native import breakpoints
+    bp = breakpoints(start, end, count)
+    if bp is not None:
+        upos, c0, c1, c2, c3 = bp
+        return upos, canon_value_f32(c0, c1, c2, c3)
     count64 = count.astype(np.int64)
     pos = np.concatenate([start, end]).astype(np.int64)
     deltas = np.stack([

@@ -166,7 +166,18 @@ def merge_pileups(expt: Pileup, ctrl: Pileup
 
     Returns (ends, expt_vals, ctrl_vals) over the union of breakpoints.
     """
-    ends = np.union1d(expt.end, ctrl.end)
+    if len(ctrl.end) <= 64:
+        # common case (constant-lambda / few -E runs): merge the few
+        # ctrl boundaries into the sorted expt ends without re-sorting
+        extra = np.setdiff1d(ctrl.end, expt.end, assume_unique=False)
+        if len(extra):
+            ins = np.searchsorted(expt.end, extra)
+            ends = np.insert(np.asarray(expt.end, np.int64), ins,
+                             extra)
+        else:
+            ends = np.asarray(expt.end, np.int64)
+    else:
+        ends = np.union1d(expt.end, ctrl.end)
     ei = np.searchsorted(expt.end, ends, side="left")
     ci = np.searchsorted(ctrl.end, ends, side="left")
     return ends, expt.cov[ei], ctrl.cov[ci]

@@ -92,6 +92,40 @@ def _load(build: bool = True):
     return lib
 
 
+def breakpoints(start, end, count):
+    """Native sorted nonzero-entry positions + cumulative class sums.
+
+    Returns (upos, cum0..cum3) int64 arrays, or None if lib absent.
+    Identical integer math to engine.pileup._nonzero_entries.
+    """
+    import numpy as np
+    try:
+        lib = _load(build=False)
+    except Exception:
+        return None
+    if not hasattr(lib, "_bp_ready"):
+        p64 = ctypes.POINTER(ctypes.c_int64)
+        p32 = ctypes.POINTER(ctypes.c_int32)
+        lib.gi_breakpoints_arrays.restype = ctypes.c_int64
+        lib.gi_breakpoints_arrays.argtypes = [p64, p64, p32,
+                                              ctypes.c_int64]
+        lib.gi_breakpoints_fetch.argtypes = [ctypes.c_void_p, p64,
+                                             p64, p64, p64, p64]
+        lib._bp_ready = True
+    s = np.ascontiguousarray(start, np.int64)
+    e = np.ascontiguousarray(end, np.int64)
+    c = np.ascontiguousarray(count, np.int32)
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    p32 = ctypes.POINTER(ctypes.c_int32)
+    n = lib.gi_breakpoints_arrays(s.ctypes.data_as(p64),
+                                  e.ctypes.data_as(p64),
+                                  c.ctypes.data_as(p32), len(s))
+    out = [np.empty(n, np.int64) for _ in range(5)]
+    lib.gi_breakpoints_fetch(None, *(o.ctypes.data_as(p64)
+                                     for o in out))
+    return tuple(out)
+
+
 def exact_sum_f32(terms) -> Optional[float]:
     """Sequential double += float reduction in C; None if lib absent."""
     import numpy as np

@@ -607,6 +607,11 @@ void find_dups(Context* c) {
   {  // properly paired
     std::unordered_map<std::tuple<int, uint32_t, uint32_t>,
                        std::string, KeyHash> table;
+    table.reserve(2 * c->reads_pr.size() + 16);
+    if (seed_singles)
+      table_sn.reserve(4 * c->reads_pr.size()
+                       + 2 * c->reads_dc.size()
+                       + c->reads_sn.size() + 16);
     for (uint32_t i : sort_order(c->reads_pr)) {
       ReadRec& r = c->reads_pr[i];
       const Aln* hit = nullptr;
@@ -657,6 +662,7 @@ void find_dups(Context* c) {
     std::unordered_map<std::tuple<int, int, uint32_t, int, int,
                                   uint32_t>, std::string, Key6Hash>
         table;
+    table.reserve(2 * c->reads_dc.size() + 16);
     for (uint32_t i : sort_order(c->reads_dc)) {
       ReadRec& r = c->reads_dc[i];
       bool dup = false;
@@ -1283,6 +1289,110 @@ double gi_exact_sum_f32(const float* terms, int64_t n) {
 // rounded; parity requires the real function)
 void gi_log10f(const float* in, float* out, int64_t n) {
   for (int64_t i = 0; i < n; i++) out[i] = log10f(in[i]);
+}
+
+}  // extern "C"
+
+// ---- breakpoint construction (engine pileup hot path) ---------------
+//
+// Converts one chromosome's events into sorted unique positions with
+// cumulative per-class sums (the numpy engine's _nonzero_entries,
+// engine/pileup.py) — identical integer math, native speed.
+
+namespace {
+struct BpState {
+  std::vector<int64_t> pos;
+  std::vector<int64_t> c0, c1, c2, c3;
+};
+thread_local BpState g_bp;
+
+// raw per-class contributions by count code (see engine/pileup.py)
+const int8_t ADD_TBL[11][4] = {
+  {0,0,0,0},{1,0,0,0},{0,4,0,0},{0,0,2,0},{0,2,0,0},{0,0,0,2},
+  {0,0,1,0},{0,0,0,0},{0,1,0,0},{0,0,0,0},{0,0,0,1}};
+const int8_t SUB_TBL[11][4] = {
+  {0,0,0,0},{-1,0,0,0},{-1,4,0,0},{-1,4,1,0},{-1,6,0,0},{-1,4,0,3},
+  {-1,4,2,0},{0,0,0,0},{-1,7,0,0},{0,0,0,0},{-1,4,0,4}};
+}  // namespace
+
+extern "C" {
+
+// compute breakpoints for chrom ci; returns the number of
+// canonical-nonzero entries (fetch with gi_breakpoints_fetch)
+static int64_t bp_compute(const int64_t* starts,
+                          const int64_t* ends, const int32_t* counts,
+                          size_t n);
+
+int64_t gi_breakpoints(void* h, int ci) {
+  Context* c = (Context*)h;
+  EventBuf& ev = c->events[ci];
+  return bp_compute(ev.start.data(), ev.end.data(), ev.count.data(),
+                    ev.start.size());
+}
+
+int64_t gi_breakpoints_arrays(const int64_t* starts,
+                              const int64_t* ends,
+                              const int32_t* counts, int64_t n) {
+  return bp_compute(starts, ends, counts, (size_t)n);
+}
+
+static int64_t bp_compute(const int64_t* starts, const int64_t* ends,
+                          const int32_t* counts, size_t n) {
+  struct Pt { int64_t pos; int32_t cnt; bool sub; };
+  std::vector<Pt> pts;
+  pts.reserve(2 * n);
+  for (size_t i = 0; i < n; i++) {
+    pts.push_back({starts[i], counts[i], false});
+    pts.push_back({ends[i], counts[i], true});
+  }
+  std::sort(pts.begin(), pts.end(),
+            [](const Pt& a, const Pt& b) { return a.pos < b.pos; });
+
+  BpState& bp = g_bp;
+  bp.pos.clear(); bp.c0.clear(); bp.c1.clear(); bp.c2.clear();
+  bp.c3.clear();
+  int64_t t0 = 0, t1 = 0, t2 = 0, t3 = 0;   // running cumulative sums
+  size_t i = 0;
+  while (i < pts.size()) {
+    int64_t p = pts[i].pos;
+    int64_t d0 = 0, d1 = 0, d2 = 0, d3 = 0;
+    for (; i < pts.size() && pts[i].pos == p; i++) {
+      const int8_t* t = pts[i].sub ? SUB_TBL[pts[i].cnt]
+                                   : ADD_TBL[pts[i].cnt];
+      d0 += t[0]; d1 += t[1]; d2 += t[2]; d3 += t[3];
+    }
+    t0 += d0; t1 += d1; t2 += d2; t3 += d3;
+    // canonical-nonzero test on the per-position delta
+    int64_t halves = d1 / 4 + d2 / 3 + d3 / 5;
+    int64_t e = d1 % 4, s = d2 % 3, tt = d3 % 5;
+    // C++ % keeps sign; emulate python floor semantics for negatives
+    auto fmod4 = [](int64_t v, int64_t m) {
+      int64_t r = v % m; return r < 0 ? r + m : r; };
+    auto fdiv = [](int64_t v, int64_t m) {
+      return (v >= 0) ? v / m : -(( -v + m - 1) / m); };
+    halves = fdiv(d1, 4) + fdiv(d2, 3) + fdiv(d3, 5);
+    e = fmod4(d1, 4); s = fmod4(d2, 3); tt = fmod4(d3, 5);
+    bool nz = e != 0 || s != 0 || tt != 0 || fmod4(halves, 2) != 0
+              || (d0 + fdiv(halves, 2)) != 0;
+    if (nz) {
+      bp.pos.push_back(p);
+      bp.c0.push_back(t0); bp.c1.push_back(t1);
+      bp.c2.push_back(t2); bp.c3.push_back(t3);
+    }
+  }
+  return (int64_t)bp.pos.size();
+}
+
+void gi_breakpoints_fetch(void* h, int64_t* pos, int64_t* c0,
+                          int64_t* c1, int64_t* c2, int64_t* c3) {
+  (void)h;
+  BpState& bp = g_bp;
+  size_t n = bp.pos.size();
+  memcpy(pos, bp.pos.data(), n * sizeof(int64_t));
+  memcpy(c0, bp.c0.data(), n * sizeof(int64_t));
+  memcpy(c1, bp.c1.data(), n * sizeof(int64_t));
+  memcpy(c2, bp.c2.data(), n * sizeof(int64_t));
+  memcpy(c3, bp.c3.data(), n * sizeof(int64_t));
 }
 
 }  // extern "C"
