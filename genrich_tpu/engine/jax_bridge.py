@@ -1,19 +1,32 @@
 """Device-accelerated engine path for the CLI (--engine jax).
 
-Runs the heavy per-chromosome numeric stages (pileup construction and
-log-normal p-values) as the fused JAX kernel from genrich_tpu.ops,
-then hands compact RLE p-value pileups back to the exact host code for
-q-values, replicate combination, logging, and peak calling.  Float32
-on device: results are approximate (~1e-4 relative on -log10 p), not
-byte-identical — use the default numpy engine for parity.
+Runs the genome-scale numeric stages — pileup construction, log-normal
+p-values, BH q-values, peak calling — on the device, keeping the
+per-interval arrays resident in HBM between stages.  Only compact data
+crosses the device->host link: fragment-length scalars, the distinct
+(p -> bp) table for BH, and the final peak records.  On a tunneled TPU
+the link runs at ~15 MB/s, so this residency is what makes the device
+path faster end-to-end than the exact numpy engine (the old bridge
+shipped ~180 MB of dense intervals per chromosome).
+
+Float32 on device: results are approximate (~1e-4 relative on
+-log10 p), not byte-identical — use the default numpy engine for
+parity.  Reference semantics mirrored per stage:
+  coverage/pileup   savePileupExpt/Ctrl   Genrich.c:2052-2295
+  p-values          savePval/calcPval     Genrich.c:1628-1794
+  q-values          computeQval           Genrich.c:146-401
+  peak calling      callPeaks             Genrich.c:977-1069
 
 Chromosome event lists are padded to power-of-two sizes so XLA
 compiles a handful of kernel shapes, reused across chromosomes and
-replicates.
+replicates; compiled programs persist in an on-disk cache
+(~/.cache/genrich_tpu/xla or $GENRICH_TPU_XLA_CACHE) because remote
+compilation can cost ~15 s per shape.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -22,6 +35,7 @@ from ..utils.cfloat import SKIP
 from .pileup import Pileup
 
 F32 = np.float32
+PEAK_CAP = 1 << 15        # per-chrom device peak rows (cap checked)
 
 
 def _pad_pow2(n: int, lo: int = 1 << 10) -> int:
@@ -31,30 +45,93 @@ def _pad_pow2(n: int, lo: int = 1 << 10) -> int:
     return size
 
 
+def _enable_compile_cache():
+    cache = os.environ.get("GENRICH_TPU_XLA_CACHE")
+    if cache == "":
+        return
+    if cache is None:
+        cache = os.path.join(os.path.expanduser("~"), ".cache",
+                             "genrich_tpu", "xla")
+    try:
+        os.makedirs(cache, exist_ok=True)
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                          -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0)
+    except Exception:
+        pass  # cache is an optimization only
+
+
 class JaxEngine:
-    """Per-run device context (lazy jax import; CPU or TPU)."""
+    """Per-run device context (lazy jax import; CPU or TPU).
+
+    Stage methods keep per-chromosome interval arrays resident on the
+    device in ``self._chrom``; the pipeline decides (by requested
+    outputs) whether to finish on device (`peaks_chrom`) or pull
+    compact RLE pileups back to the host (`pvalue_pileups`).
+    """
 
     def __init__(self):
+        _enable_compile_cache()
         import jax
         import jax.numpy as jnp
-        from functools import partial
+        from ..ops import compact_jax
         from ..ops.pipeline_jax import tile_coverage, tile_stats
+        from ..ops.peaks_jax import call_peaks
 
         self.jax = jax
         self.jnp = jnp
+        self._chrom: Dict[int, dict] = {}
+        self._qtable = None
 
-        @partial(jax.jit, static_argnums=())
-        def _cov_pval(es, ee, ec, cs, ce, cc, excl, tile_len, lam,
-                      factor):
+        zero4 = lambda: jnp.zeros(4, jnp.int32)  # noqa: E731
+
+        @jax.jit
+        def _coverage(es, ee, ec, cs, ce, cc, excl, tile_len):
             (starts, ends, ev, cr, excluded, live, frag,
              cfrag) = tile_coverage(es, ee, ec, cs, ce, cc, excl,
-                                    tile_len,
-                                    jnp.zeros(4, jnp.int32),
-                                    jnp.zeros(4, jnp.int32))
-            pv = tile_stats(ev, cr, excluded, factor, lam)
-            return starts, ends, ev, cr, pv, excluded, live, frag, cfrag
+                                    tile_len, zero4(), zero4())
+            return starts, ends, ev, cr, excluded, live, frag, cfrag
 
-        self._cov_pval = _cov_pval
+        @jax.jit
+        def _stats(ev, cr, excluded, lam, factor):
+            return tile_stats(ev, cr, excluded, factor, lam)
+
+        @jax.jit
+        def _rle(starts, ends, pv, ev, cr, excluded, live, lam,
+                 factor):
+            return compact_jax.rle_runs(starts, ends, pv, ev, cr,
+                                        excluded, live, lam, factor)
+
+        @jax.jit
+        def _distinct(starts, ends, pv, live):
+            return compact_jax.distinct_pvals(starts, ends, pv, live)
+
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("min_len", "max_gap",
+                                           "use_q", "k_peaks"))
+        def _peaks(starts, ends, pv, live, tab_p, tab_q, min_pq,
+                   min_auc, min_len, max_gap, use_q, k_peaks):
+            if use_q:
+                qv = compact_jax.assign_qvals(pv, tab_p, tab_q)
+                stat = qv
+            else:
+                qv = jnp.full_like(pv, SKIP)
+                stat = pv
+            return call_peaks(starts, ends, stat, pv, qv, live,
+                              min_pq, min_auc, min_len, max_gap,
+                              k_peaks=k_peaks)
+
+        self._coverage = _coverage
+        self._stats_fn = _stats
+        self._rle_fn = _rle
+        self._distinct_fn = _distinct
+        self._peaks_fn = _peaks
+
+    # --- input staging -------------------------------------------------
 
     def _pad_excl(self, bed: List[int], chrom_len: int,
                   max_pairs: int = 64) -> "np.ndarray":
@@ -79,57 +156,150 @@ class JaxEngine:
             c[:n] = ev[2]
         return jnp.asarray(s), jnp.asarray(e), jnp.asarray(c)
 
-    def chrom_pvalues(self, expt_ev, ctrl_ev, bed: List[int],
-                      chrom_len: int, lam: float, factor: float
-                      ) -> Tuple[Pileup, Pileup, Pileup]:
-        """(expt, ctrl, pval) RLE pileups for one chromosome."""
+    # --- stage 1: coverage (resident) + fragment sums -------------------
+
+    def coverage_chrom(self, cidx: int, expt_ev, ctrl_ev,
+                       bed: List[int], chrom_len: int
+                       ) -> Tuple[float, float]:
+        """Pileup coverage for one chromosome; returns fragment sums.
+
+        Interval arrays stay on device; only the two weighted
+        fragment-length scalars (savePileupExpt's return and
+        calcFactor's sweep, Genrich.c:2168-2295, 1980-2046) come back.
+        """
         jnp = self.jnp
         n = max(len(expt_ev[0]) if expt_ev else 1,
                 len(ctrl_ev[0]) if ctrl_ev else 1)
         size = _pad_pow2(n)
         es, ee, ec = self._pad_events(expt_ev, chrom_len, size)
         cs, ce, cc = self._pad_events(ctrl_ev, chrom_len, size)
-        excl = self._pad_excl(bed, chrom_len)
+        excl = jnp.asarray(self._pad_excl(bed, chrom_len))
+        out = self._coverage(es, ee, ec, cs, ce, cc, excl,
+                             jnp.int32(chrom_len))
+        (starts, ends, ev, cr, excluded, live, frag, cfrag) = out
+        self._chrom[cidx] = {
+            "starts": starts, "ends": ends, "ev": ev, "cr": cr,
+            "excluded": excluded, "live": live, "len": chrom_len,
+        }
+        return float(frag), float(cfrag)
 
-        out = self._cov_pval(es, ee, ec, cs, ce, cc,
-                             jnp.asarray(excl), jnp.int32(chrom_len),
-                             jnp.float32(lam), jnp.float32(factor))
-        (starts, ends, ev, cr, pv, excluded, live, frag,
-         cfrag) = (np.asarray(x) for x in out)
-        keep = live & (ends > starts)
-        starts, ends, ev, cr, pv, excluded = (
-            a[keep] for a in (starts, ends, ev, cr, pv, excluded))
-        ctrl_v = np.where(excluded, SKIP,
-                          np.maximum(F32(factor) * cr, F32(lam)))
-        expt_v = np.where(excluded, F32(0.0), ev)
-        # coalesce equal adjacent p-values into RLE runs
-        if len(pv):
-            brk = np.flatnonzero(np.diff(pv) != 0)
-            last = np.append(brk, len(pv) - 1)
-            pu = Pileup(ends[last].astype(np.int64),
-                        pv[last].astype(F32))
-            epu = Pileup(ends[last].astype(np.int64),
-                         expt_v[last].astype(F32))
-            cpu_ = Pileup(ends[last].astype(np.int64),
-                          ctrl_v[last].astype(F32))
-        else:
+    # --- stage 2: p-values (resident) -----------------------------------
+
+    def stats_all(self, lam: float, factor: float) -> None:
+        """-log10 p per interval for every resident chromosome."""
+        jnp = self.jnp
+        self._lam = F32(lam)
+        self._factor = F32(factor)
+        for st in self._chrom.values():
+            st["pv"] = self._stats_fn(st["ev"], st["cr"],
+                                      st["excluded"],
+                                      jnp.float32(lam),
+                                      jnp.float32(factor))
+
+    # --- host-RLE path (for -f/-k logs, Fisher, -X) ---------------------
+
+    def pvalue_pileups(self, cidx: int
+                       ) -> Tuple[Pileup, Pileup, Pileup]:
+        """(expt, ctrl, pval) RLE pileups, compacted on device first."""
+        jnp = self.jnp
+        st = self._chrom[cidx]
+        e_b, pv_b, ev_b, cv_b, b = self._rle_fn(
+            st["starts"], st["ends"], st["pv"], st["ev"], st["cr"],
+            st["excluded"], st["live"], jnp.float32(self._lam),
+            jnp.float32(self._factor))
+        nb = int(b)
+        if nb == 0:
+            chrom_len = st["len"]
             pu = Pileup(np.array([chrom_len], np.int64),
                         np.zeros(1, F32))
-            epu = Pileup(pu.end, np.zeros(1, F32))
-            cpu_ = Pileup(pu.end, np.full(1, F32(lam)))
-        return epu, cpu_, pu
+            return (Pileup(pu.end, np.zeros(1, F32)),
+                    Pileup(pu.end, np.full(1, F32(self._lam))), pu)
+        ends = np.asarray(e_b[:nb]).astype(np.int64)
+        pv = np.asarray(pv_b[:nb]).astype(F32)
+        ev = np.asarray(ev_b[:nb]).astype(F32)
+        cv = np.asarray(cv_b[:nb]).astype(F32)
+        return Pileup(ends, ev), Pileup(ends, cv), Pileup(ends, pv)
 
-    def chrom_frag_sums(self, expt_ev, ctrl_ev, bed: List[int],
-                        chrom_len: int) -> Tuple[float, float]:
-        """(expt fragLen, ctrl fragLen) for lambda/factor (f32)."""
+    # --- stage 3: q-values ----------------------------------------------
+
+    def qvalue_table(self, genome_len: int) -> bool:
+        """Genome-wide BH from device-collected distinct p-values.
+
+        Distinct (p, bp) pairs per chromosome are compacted on device
+        and merged on host (they number in the thousands: coverage
+        values are fraction-quantized); the q sweep reuses the exact
+        engine's float32 math (computeQval, Genrich.c:352-401).
+        Returns the "all q-values are 1" warning condition.
+        """
+        from . import qvalue
         jnp = self.jnp
-        n = max(len(expt_ev[0]) if expt_ev else 1,
-                len(ctrl_ev[0]) if ctrl_ev else 1)
-        size = _pad_pow2(n)
-        es, ee, ec = self._pad_events(expt_ev, chrom_len, size)
-        cs, ce, cc = self._pad_events(ctrl_ev, chrom_len, size)
-        excl = self._pad_excl(bed, chrom_len)
-        out = self._cov_pval(es, ee, ec, cs, ce, cc,
-                             jnp.asarray(excl), jnp.int32(chrom_len),
-                             jnp.float32(1.0), jnp.float32(1.0))
-        return float(out[7]), float(out[8])
+        ps, ws = [], []
+        for st in self._chrom.values():
+            pv_d, w_d, d = self._distinct_fn(st["starts"], st["ends"],
+                                             st["pv"], st["live"])
+            nd = int(d)
+            if nd:
+                ps.append(np.asarray(pv_d[:nd]))
+                ws.append(np.asarray(w_d[:nd]).astype(np.uint64))
+        if not ps:
+            self._qtable = (jnp.zeros(1, jnp.float32),
+                            jnp.zeros(1, jnp.float32))
+            self._qtable_host = (np.zeros(0, F32), np.zeros(0, F32))
+            return False
+        p_all = np.concatenate(ps)
+        w_all = np.concatenate(ws)
+        uv, inv = np.unique(p_all, return_inverse=True)
+        ul = np.zeros(len(uv), np.uint64)
+        np.add.at(ul, inv, w_all)
+        qv = qvalue.qvalues(uv.astype(F32), ul, genome_len)
+        size = _pad_pow2(len(uv), lo=1 << 8)
+        tab_p = np.full(size, np.inf, F32)
+        tab_q = np.zeros(size, F32)
+        tab_p[:len(uv)] = uv
+        tab_q[:len(uv)] = qv
+        self._qtable = (jnp.asarray(tab_p), jnp.asarray(tab_q))
+        self._qtable_host = (uv.astype(F32), qv)
+        return qvalue.all_qvalues_one(qv)
+
+    # --- stage 4: peaks (device) ----------------------------------------
+
+    def peaks_chrom(self, cidx: int, min_pq: float, min_auc: float,
+                    min_len: int, max_gap: int, use_q: bool):
+        """Device peak calling for one chromosome.
+
+        Returns (start, end, auc, summit_pval, summit_qval,
+        summit_pos) numpy arrays of emitted peaks, in genomic order,
+        or None if the per-chrom candidate cap was exceeded (caller
+        falls back to the host peak caller).
+        """
+        jnp = self.jnp
+        st = self._chrom[cidx]
+        if use_q:
+            tab_p, tab_q = self._qtable
+        else:
+            tab_p = tab_q = jnp.zeros(1, jnp.float32)
+        cap = min(PEAK_CAP, st["starts"].shape[0])
+        res = self._peaks_fn(st["starts"], st["ends"], st["pv"],
+                             st["live"], tab_p, tab_q,
+                             jnp.float32(min_pq),
+                             jnp.float32(min_auc), min_len=min_len,
+                             max_gap=max_gap, use_q=use_q,
+                             k_peaks=cap)
+        if int(res.n_peaks) > cap:
+            return None
+        valid = np.asarray(res.valid)
+        if not valid.any():
+            z64 = np.zeros(0, np.int64)
+            zf = np.zeros(0, F32)
+            return (z64, z64, zf, zf, zf, z64)
+        k = np.flatnonzero(valid)
+        return (np.asarray(res.start)[k].astype(np.int64),
+                np.asarray(res.end)[k].astype(np.int64),
+                np.asarray(res.auc)[k],
+                np.asarray(res.summit_pval)[k],
+                np.asarray(res.summit_qval)[k],
+                np.asarray(res.summit_pos)[k].astype(np.int64))
+
+    def release(self) -> None:
+        self._chrom.clear()
+        self._qtable = None

@@ -38,6 +38,7 @@ class TilePeaks(NamedTuple):
     summit_len: jnp.ndarray   # int32 [M]: its interval length
     skip_head: jnp.ndarray    # bool []: SKIP before the first site
     skip_tail: jnp.ndarray    # bool []: SKIP after the last site
+    n_peaks: jnp.ndarray      # int32 []: total candidates (cap check)
 
 
 def call_peaks(starts, ends, stat, pval, qval, live, min_pq, min_auc,
@@ -87,13 +88,19 @@ def call_peaks(starts, ends, stat, pval, qval, live, min_pq, min_auc,
     first_idx = jax.lax.cummax(jnp.where(new_peak, idx, neg))
     lastsig_inc = jax.lax.cummax(jnp.where(sig, idx, neg))
 
-    # summit via one lexicographic sort: pid is the primary key (and
+    # summit via lexicographic sorts: pid is the primary key (and
     # already sorted), so each peak keeps its contiguous index range;
-    # the range's last row holds (max stat, longest, earliest).
+    # the range's last row holds (max stat, longest, earliest) — the
+    # summit *position* (updatePeak ties: longer interval replaces,
+    # Genrich.c:958-964).  The summit p/q columns instead come from
+    # the FIRST max-stat interval (they only update on a strict
+    # stat improvement, Genrich.c:948-957), hence the second sort.
     stat_m = jnp.where(sig, stat, -jnp.inf)
     _, bstat, _, _, bpos = jax.lax.sort(
         (pid, stat_m, jnp.where(sig, lens, -_BIG), -idx, idx),
         num_keys=4)
+    _, _, _, bpos_first = jax.lax.sort((pid, stat_m, -idx, idx),
+                                       num_keys=3)
 
     # compact the boundary rows (ascending original order -> take the
     # k largest row indices, then reverse)
@@ -112,8 +119,9 @@ def call_peaks(starts, ends, stat, pval, qval, live, min_pq, min_auc,
 
     max_stat = bstat[rows]
     pi = jnp.clip(bpos[rows], 0, m - 1)
-    summit_pval = pval[pi]
-    summit_qval = qval[pi]
+    pf = jnp.clip(bpos_first[rows], 0, m - 1)
+    summit_pval = pval[pf]
+    summit_qval = qval[pf]
     summit_pos = (starts[pi] + ends[pi]) // 2 - p_start
     summit_len = lens[pi]
 
@@ -127,6 +135,7 @@ def call_peaks(starts, ends, stat, pval, qval, live, min_pq, min_auc,
     skip_head = jnp.any(skp & (idx < first_sig)) & any_sig
     skip_tail = jnp.any(skp & (idx > last_sig)) & any_sig
 
+    n_peaks = jnp.maximum(pid[-1] + 1, 0).astype(jnp.int32)
     return TilePeaks(p_start, p_end, auc, summit_pval, summit_qval,
                      summit_pos, valid, exists, max_stat, summit_len,
-                     skip_head, skip_tail)
+                     skip_head, skip_tail, n_peaks)

@@ -77,7 +77,7 @@ def _local_step(start, end, count, tile_len, genome_len, min_pq,
     pk = res.peaks
     return (pk.start, pk.end, pk.auc, pk.summit_pval, pk.summit_qval,
             pk.summit_pos, pk.valid, pk.cand, pk.summit_stat,
-            pk.summit_len, pk.skip_head, pk.skip_tail,
+            pk.summit_len, pk.skip_head, pk.skip_tail, pk.n_peaks,
             res.frag_len, res.n_intervals, lam)
 
 
@@ -101,11 +101,11 @@ def sharded_analyze(mesh: Mesh, start, end, count, tile_len: int,
                 min_len=min_len, max_gap=max_gap),
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS)),
-        out_specs=tuple([P(AXIS)] * 14) + (P(),),
+        out_specs=tuple([P(AXIS)] * 15) + (P(),),
     )
     out = jax.jit(fn)(start, end, count)
-    peaks = TilePeaks(*out[:12])
-    return TileResult(peaks, out[12], out[13]), out[14]
+    peaks = TilePeaks(*out[:13])
+    return TileResult(peaks, out[13], out[14]), out[15]
 
 
 def _excl_carry_prefix(totals, t):
@@ -175,7 +175,7 @@ def _local_step_full(es, ee, ec, cs, ce, cc, excl, tile_len,
     return (res.start, res.end, res.auc, res.summit_pval,
             res.summit_qval, res.summit_pos, res.valid, res.cand,
             res.summit_stat, res.summit_len, res.skip_head,
-            res.skip_tail, frag_len, lam, factor)
+            res.skip_tail, res.n_peaks, frag_len, lam, factor)
 
 
 def sharded_analyze_full(mesh: Mesh, es, ee, ec, cs, ce, cc, excl,
@@ -201,11 +201,11 @@ def sharded_analyze_full(mesh: Mesh, es, ee, ec, cs, ce, cc, excl,
                 max_logp=max_logp),
         mesh=mesh,
         in_specs=tuple([P(AXIS)] * 7),
-        out_specs=tuple([P(AXIS)] * 13) + (P(), P()),
+        out_specs=tuple([P(AXIS)] * 14) + (P(), P()),
     )
     out = jax.jit(fn)(es, ee, ec, cs, ce, cc, excl)
-    peaks = TilePeaks(*out[:12])
-    return TileResult(peaks, out[12], None), out[13], out[14]
+    peaks = TilePeaks(*out[:13])
+    return TileResult(peaks, out[13], None), out[14], out[15]
 
 
 def merge_tile_peaks(result: TileResult, tile_len: int,

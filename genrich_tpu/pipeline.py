@@ -270,11 +270,16 @@ def _replicate_jax(eng, registry: ChromRegistry,
                    ctrl_sink: Optional[EventSink], p: Params,
                    n: int, pvals: Dict[int, List[Optional[Pileup]]],
                    pile_stream, expt_name: str,
-                   ctrl_name: Optional[str]):
+                   ctrl_name: Optional[str], full_device: bool):
     """Device replicate computation (--engine jax, float32).
 
-    Pileups and p-values run as the fused JAX kernel per chromosome;
-    the RLE results feed the same downstream host stages.
+    Stage 1 builds coverage on device for every saved chromosome
+    (arrays stay resident in HBM) and pulls back only the weighted
+    fragment-length scalars; stage 2 applies the elementwise p-value
+    kernel in place.  With ``full_device`` the results never leave the
+    device here — ``_find_peaks_jax`` finishes (q-values + peak
+    calling) on device.  Otherwise compact RLE pileups are pulled
+    back for the exact host downstream (-f/-k logs, Fisher, -X).
     """
     genome_len = p.genome_len or _compute_genome_len(
         registry, lambda c: not c.skip and c.save)
@@ -288,9 +293,7 @@ def _replicate_jax(eng, registry: ChromRegistry,
             continue
         ev = _chrom_events(expt_sink, c.index)
         cv = _chrom_events(ctrl_sink, c.index) if ctrl_sink else None
-        if ev is None and cv is None:
-            continue
-        fe, fc = eng.chrom_frag_sums(ev, cv, c.bed, c.length)
+        fe, fc = eng.coverage_chrom(c.index, ev, cv, c.bed, c.length)
         frag += fe
         ctrl_frag += fc
     if frag == 0.0:
@@ -302,6 +305,10 @@ def _replicate_jax(eng, registry: ChromRegistry,
         if ctrl_sink is not None:
             warn(f"  Scaling factor for control pileup: "
                  f"{fmt_f(factor)}\n")
+    eng.stats_all(float(lam), float(factor))
+
+    if full_device:
+        return {}, {}
 
     if pile_stream is not None:
         writers.pile_header(pile_stream, expt_name, ctrl_name)
@@ -316,10 +323,7 @@ def _replicate_jax(eng, registry: ChromRegistry,
         if not c.save:
             lst.append(None)
             continue
-        ev = _chrom_events(expt_sink, c.index)
-        cv = _chrom_events(ctrl_sink, c.index) if ctrl_sink else None
-        epu, cpu_, pu = eng.chrom_pvalues(ev, cv, c.bed, c.length,
-                                          float(lam), float(factor))
+        epu, cpu_, pu = eng.pvalue_pileups(c.index)
         expt_out[c.index] = epu
         ctrl_out[c.index] = cpu_
         lst.append(pu)
@@ -330,7 +334,74 @@ def _replicate_jax(eng, registry: ChromRegistry,
                                  int(pu.end[m]), epu.cov[m],
                                  cpu_.cov[m], pu.cov[m])
                 start = int(pu.end[m])
+    eng.release()
     return expt_out, ctrl_out
+
+
+def _find_peaks_jax(registry: ChromRegistry, eng, p: Params,
+                    out_stream) -> None:
+    """findPeaks (Genrich.c:1076-1137) finished on device.
+
+    Used when no -f/-k logs are requested and there is a single
+    replicate: q-values and peak calling run on the device over the
+    resident interval arrays; only compact peak records cross the
+    link.  Verbose output mirrors find_peaks().
+    """
+    chroms = [c for c in registry if not c.skip and c.index
+              in eng._chrom]
+    genome_len = p.genome_len
+    if not genome_len:
+        genome_len = _compute_genome_len(
+            registry, lambda c: not c.skip and c.index in eng._chrom)
+
+    if p.verbose:
+        warn("Peak-calling parameters:\n")
+        warn(f"  Genome length: {_i64(genome_len)}bp\n")
+        warn(f"  Significance threshold: -log({'q' if p.qval_opt else 'p'}"
+             f") > {fmt_prec(p.pqvalue, 3)}\n")
+        warn(f"  Min. AUC: {fmt_prec(p.min_auc, 3)}\n")
+        if p.min_len:
+            warn(f"  Min. peak length: {p.min_len}bp\n")
+        warn(f"  Max. gap between sites: {p.max_gap}bp\n")
+
+    if p.qval_opt:
+        all_one = eng.qvalue_table(genome_len)
+        if p.verbose and all_one:
+            warn("Warning! All q-values are 1\n")
+
+    count = 0
+    peak_bp = 0
+    for c in chroms:
+        res = eng.peaks_chrom(c.index, float(p.pqvalue),
+                              float(p.min_auc), p.min_len, p.max_gap,
+                              bool(p.qval_opt))
+        if res is None:
+            # candidate cap exceeded: host fallback for this chrom
+            _, _, pu = eng.pvalue_pileups(c.index)
+            qv_cov = None
+            if p.qval_opt:
+                uv, qv = eng._qtable_host
+                qv_cov = qvalue.qval_pileup(pu, uv, qv).cov
+            stat = qv_cov if p.qval_opt else pu.cov
+            for pk in peaks_mod.call_peaks_chrom(
+                    stat, pu.cov, qv_cov, pu.end, p.pqvalue,
+                    p.min_auc, p.min_len, p.max_gap):
+                writers.write_peak(out_stream, c.name, pk, count)
+                count += 1
+                peak_bp += pk.end - pk.start
+            continue
+        starts, ends, aucs, spv, sqv, spos = res
+        for m in range(len(starts)):
+            pk = peaks_mod.Peak(int(starts[m]), int(ends[m]),
+                                aucs[m], spv[m],
+                                sqv[m] if p.qval_opt else F32(SKIP),
+                                int(spos[m]))
+            writers.write_peak(out_stream, c.name, pk, count)
+            count += 1
+            peak_bp += pk.end - pk.start
+    if p.verbose:
+        warn(f"Peaks identified: {count} ({peak_bp}bp)\n")
+    eng.release()
 
 
 def _save_pval(registry: ChromRegistry, n: int,
@@ -630,9 +701,14 @@ def run(p: Params) -> None:
     expt_pu: Dict[int, Pileup] = {}
     ctrl_pu: Dict[int, Pileup] = {}
     jax_engine = None
+    full_device = False
     if p.engine == "jax":
         from .engine.jax_bridge import JaxEngine
         jax_engine = JaxEngine()
+        # with no interval logs, a single replicate finishes on the
+        # device: q-values + peak calling over resident arrays
+        full_device = (p.peaks_opt and not p.log_file
+                       and not p.pile_file and len(expt_files) == 1)
 
     sample = 0
     for si, expt_name in enumerate(expt_files):
@@ -697,7 +773,8 @@ def run(p: Params) -> None:
             with stage("device pileup+p-values"):
                 expt_pu, ctrl_pu = _replicate_jax(
                     jax_engine, registry, sinks[0], sinks[1], p,
-                    sample, pvals, pile_stream, expt_name, ctrl_name)
+                    sample, pvals, pile_stream, expt_name, ctrl_name,
+                    full_device)
         else:
             with stage("p-values"):
                 _save_pval(registry, sample, expt_pu, ctrl_pu, pvals,
@@ -710,8 +787,11 @@ def run(p: Params) -> None:
         if p.log_file else None
 
     with stage("findPeaks"):
-        find_peaks(registry, pvals, sample, expt_pu, ctrl_pu,
-                   out_stream, log_stream, p)
+        if full_device:
+            _find_peaks_jax(registry, jax_engine, p, out_stream)
+        else:
+            find_peaks(registry, pvals, sample, expt_pu, ctrl_pu,
+                       out_stream, log_stream, p)
 
     for s in (out_stream, log_stream, pile_stream, bed_stream,
               dups_stream):
