@@ -109,6 +109,15 @@ class JaxEngine:
         def _distinct(starts, ends, pv, live):
             return compact_jax.distinct_pvals(starts, ends, pv, live)
 
+        @jax.jit
+        def _rle_pv(starts, ends, pv, live, chrom_len):
+            return compact_jax.rle_pv(starts, ends, pv, live,
+                                      chrom_len)
+
+        @jax.jit
+        def _merge_fisher(ends_list, pv_list):
+            return compact_jax.merge_fisher(ends_list, pv_list)
+
         from functools import partial
 
         @partial(jax.jit, static_argnames=("min_len", "max_gap",
@@ -129,7 +138,10 @@ class JaxEngine:
         self._stats_fn = _stats
         self._rle_fn = _rle
         self._distinct_fn = _distinct
+        self._rle_pv_fn = _rle_pv
+        self._merge_fisher_fn = _merge_fisher
         self._peaks_fn = _peaks
+        self._reps: List[Dict[int, tuple]] = []
 
     # --- input staging -------------------------------------------------
 
@@ -195,6 +207,62 @@ class JaxEngine:
                                       st["excluded"],
                                       jnp.float32(lam),
                                       jnp.float32(factor))
+
+    # --- multi-replicate: archive + device Fisher ------------------------
+
+    def archive_replicate(self) -> None:
+        """Compact this replicate's p-values to RLE and free coverage.
+
+        Each chromosome's (ends, pv) runs stay resident (sliced to a
+        power-of-two bucket of the run count); the dense coverage
+        arrays are released.  Used when a later replicate follows and
+        the combination (Fisher) happens on device at findPeaks time.
+        """
+        jnp = self.jnp
+        rep: Dict[int, tuple] = {}
+        for cidx, st in self._chrom.items():
+            e_b, pv_b, b = self._rle_pv_fn(
+                st["starts"], st["ends"], st["pv"], st["live"],
+                jnp.int32(st["len"]))
+            size = min(_pad_pow2(int(b), lo=1 << 8), e_b.shape[0])
+            rep[cidx] = (e_b[:size], pv_b[:size], st["len"])
+        self._reps.append(rep)
+        self._chrom.clear()
+
+    def finalize_fisher(self) -> None:
+        """combinePval (Genrich.c:612-667) on device.
+
+        Merges every replicate's RLE breakpoints per chromosome and
+        combines -log10 p via the chi-squared upper tail
+        (ops/chisq_jax.py); the result repopulates ``self._chrom`` so
+        q-values and peak calling run unchanged.
+        """
+        chroms = sorted({c for rep in self._reps for c in rep})
+        for cidx in chroms:
+            present = [rep[cidx] for rep in self._reps if cidx in rep]
+            ends_t = tuple(r[0] for r in present)
+            pv_t = tuple(r[1] for r in present)
+            starts, ends, comb, live = self._merge_fisher_fn(ends_t,
+                                                             pv_t)
+            self._chrom[cidx] = {
+                "starts": starts, "ends": ends, "pv": comb,
+                "live": live, "len": present[0][2],
+            }
+        self._reps.clear()
+
+    def pval_pileup(self, cidx: int) -> Pileup:
+        """The p-value RLE pileup alone (host fallback paths)."""
+        jnp = self.jnp
+        st = self._chrom[cidx]
+        e_b, pv_b, b = self._rle_pv_fn(st["starts"], st["ends"],
+                                       st["pv"], st["live"],
+                                       jnp.int32(st["len"]))
+        nb = int(b)
+        if nb == 0:
+            return Pileup(np.array([st["len"]], np.int64),
+                          np.zeros(1, F32))
+        return Pileup(np.asarray(e_b[:nb]).astype(np.int64),
+                      np.asarray(pv_b[:nb]).astype(F32))
 
     # --- host-RLE path (for -f/-k logs, Fisher, -X) ---------------------
 
@@ -302,4 +370,5 @@ class JaxEngine:
 
     def release(self) -> None:
         self._chrom.clear()
+        self._reps.clear()
         self._qtable = None

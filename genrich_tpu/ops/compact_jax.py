@@ -65,6 +65,52 @@ def rle_runs(starts, ends, pv, ev, cr, excluded, live, lam, factor):
     return e_b, pv_b, ev_b, cv_b, b
 
 
+def rle_pv(starts, ends, pv, live, chrom_len):
+    """p-value-only RLE coalescing with sentinel padding.
+
+    Like rle_runs but carrying just (end, pv); rows beyond the run
+    count are overwritten with (chrom_len, SKIP) so downstream n-way
+    merges (Fisher combination across replicates) can treat the padded
+    tail as inert.  Returns (run_ends, run_pv, n_runs).
+    """
+    real = live & (ends > starts)
+    (e_p, pv_p), r = compact(real, (ends, pv))
+    n = e_p.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    nxt_diff = jnp.concatenate([pv_p[1:] != pv_p[:-1],
+                                jnp.ones((1,), bool)])
+    last = (idx < r) & (nxt_diff | (idx == r - 1))
+    (e_b, pv_b), b = compact(last, (e_p, pv_p))
+    valid = idx < b
+    e_b = jnp.where(valid, e_b, chrom_len)
+    pv_b = jnp.where(valid, pv_b, SKIP)
+    return e_b, pv_b, b
+
+
+def merge_fisher(ends_list, pv_list):
+    """n-way merge of replicate p-value RLEs + Fisher combination.
+
+    The device analog of combinePval/multPval (Genrich.c:567-667):
+    merged breakpoints are the union of every replicate's interval
+    ends; each replicate contributes its value over each merged
+    interval (SKIP excluded per interval, df = 2 * live replicates).
+    Padding rows (end == chrom_len, pv SKIP) merge into zero-length
+    dead intervals.  Returns (starts, ends, combined_pv, live).
+    """
+    from .chisq_jax import fisher_combine
+    all_e = jnp.sort(jnp.concatenate(list(ends_list)))
+    vs = []
+    for e_r, p_r in zip(ends_list, pv_list):
+        idx = jnp.clip(jnp.searchsorted(e_r, all_e, side="left"),
+                       0, e_r.shape[0] - 1)
+        vs.append(p_r[idx])
+    comb = fisher_combine(jnp.stack(vs)).astype(jnp.float32)
+    starts = jnp.concatenate([jnp.zeros((1,), all_e.dtype),
+                              all_e[:-1]])
+    live = all_e > starts
+    return starts, all_e, comb, live
+
+
 def distinct_pvals(starts, ends, pv, live):
     """Distinct -log10 p values with summed bp lengths, on device.
 

@@ -270,7 +270,8 @@ def _replicate_jax(eng, registry: ChromRegistry,
                    ctrl_sink: Optional[EventSink], p: Params,
                    n: int, pvals: Dict[int, List[Optional[Pileup]]],
                    pile_stream, expt_name: str,
-                   ctrl_name: Optional[str], full_device: bool):
+                   ctrl_name: Optional[str], full_device: bool,
+                   archive: bool):
     """Device replicate computation (--engine jax, float32).
 
     Stage 1 builds coverage on device for every saved chromosome
@@ -308,6 +309,8 @@ def _replicate_jax(eng, registry: ChromRegistry,
     eng.stats_all(float(lam), float(factor))
 
     if full_device:
+        if archive:
+            eng.archive_replicate()
         return {}, {}
 
     if pile_stream is not None:
@@ -347,6 +350,8 @@ def _find_peaks_jax(registry: ChromRegistry, eng, p: Params,
     resident interval arrays; only compact peak records cross the
     link.  Verbose output mirrors find_peaks().
     """
+    if eng._reps:
+        eng.finalize_fisher()
     chroms = [c for c in registry if not c.skip and c.index
               in eng._chrom]
     genome_len = p.genome_len
@@ -377,7 +382,7 @@ def _find_peaks_jax(registry: ChromRegistry, eng, p: Params,
                               bool(p.qval_opt))
         if res is None:
             # candidate cap exceeded: host fallback for this chrom
-            _, _, pu = eng.pvalue_pileups(c.index)
+            pu = eng.pval_pileup(c.index)
             qv_cov = None
             if p.qval_opt:
                 uv, qv = eng._qtable_host
@@ -705,10 +710,11 @@ def run(p: Params) -> None:
     if p.engine == "jax":
         from .engine.jax_bridge import JaxEngine
         jax_engine = JaxEngine()
-        # with no interval logs, a single replicate finishes on the
-        # device: q-values + peak calling over resident arrays
+        # with no interval logs, the analysis finishes on the device:
+        # Fisher combination, q-values, and peak calling over
+        # resident arrays
         full_device = (p.peaks_opt and not p.log_file
-                       and not p.pile_file and len(expt_files) == 1)
+                       and not p.pile_file)
 
     sample = 0
     for si, expt_name in enumerate(expt_files):
@@ -774,7 +780,8 @@ def run(p: Params) -> None:
                 expt_pu, ctrl_pu = _replicate_jax(
                     jax_engine, registry, sinks[0], sinks[1], p,
                     sample, pvals, pile_stream, expt_name, ctrl_name,
-                    full_device)
+                    full_device,
+                    archive=(len(expt_files) > 1))
         else:
             with stage("p-values"):
                 _save_pval(registry, sample, expt_pu, ctrl_pu, pvals,

@@ -35,6 +35,34 @@ def test_jax_engine_matches_exact_boundaries(tmp_path):
             assert abs(x - y) <= 1e-4 * max(1.0, abs(x)), (a, b)
 
 
+def test_jax_engine_multi_replicate_fisher(tmp_path):
+    oracle.random_sam(str(tmp_path / "in.sam"), seed=81)
+    oracle.random_sam(str(tmp_path / "b.sam"), seed=82, n_pairs=250)
+    os.environ.update({"PALLAS_AXON_POOL_IPS": "",
+                       "JAX_PLATFORMS": "cpu"})
+    reps = f"{tmp_path / 'in.sam'},{tmp_path / 'b.sam'}"
+
+    def run(name, extra):
+        d = tmp_path / name
+        d.mkdir()
+        r = oracle.run_ours(["-t", reps, "-o", "out.np", "-y", "-p",
+                             "0.01", "-a", "20"] + extra, cwd=str(d))
+        assert r.returncode == 0, r.stderr[-1500:]
+        return (d / "out.np").read_text().splitlines()
+
+    exact = run("exact2", [])
+    fast = run("jax2", ["--engine", "jax"])
+    assert len(exact) == len(fast)
+    same = sum(a.split("\t")[:6] == b.split("\t")[:6]
+               for a, b in zip(exact, fast))
+    assert same >= len(exact) * 0.9
+    for a, b in zip(exact, fast):
+        fa, fb = a.split("\t"), b.split("\t")
+        for i in (6, 7):
+            x, y = float(fa[i]), float(fb[i])
+            assert abs(x - y) <= 1e-3 * max(1.0, abs(x)), (a, b)
+
+
 def test_jax_engine_with_ctrl_and_exclusions(tmp_path):
     oracle.random_sam(str(tmp_path / "in.sam"), seed=72)
     oracle.random_sam(str(tmp_path / "c.sam"), seed=73,
