@@ -853,10 +853,108 @@ float sam_score(char* extra) {
 }
 
 struct Reader {
+  // Buffered reader over zlib (transparent for plain files).  gzgets
+  // scans per character and gzread-per-field costs a zlib call per 4
+  // bytes; block reads + memchr run the SAM hot loop ~3x faster.
   gzFile gz;
-  explicit Reader(const char* path) { gz = gzopen(path, "rb"); }
+  std::vector<char> buf;
+  size_t head = 0, tail = 0;
+  bool ateof = false;
+  explicit Reader(const char* path) : buf(1 << 20) {
+    gz = gzopen(path, "rb");
+    if (gz) gzbuffer(gz, 1 << 17);
+  }
   ~Reader() { if (gz) gzclose(gz); }
-  bool line(char* buf, int n) { return gzgets(gz, buf, n) != nullptr; }
+
+  bool fill() {
+    if (ateof) return false;
+    if (head) {
+      memmove(buf.data(), buf.data() + head, tail - head);
+      tail -= head;
+      head = 0;
+    }
+    if (tail == buf.size()) buf.resize(buf.size() * 2);
+    int n = gzread(gz, buf.data() + tail,
+                   (unsigned)(buf.size() - tail));
+    if (n <= 0) { ateof = true; return false; }
+    tail += (size_t)n;
+    return true;
+  }
+
+  // next line, NUL-terminated in place ('\n' stripped); nullptr at
+  // EOF; length in last_len.  Unlike the reference's fgets (getLine,
+  // Genrich.c:139-144), lines longer than 64 KB are returned whole
+  // (PARITY.md item 3).
+  size_t last_len = 0;
+  char* line() {
+    for (;;) {
+      char* p = buf.data() + head;
+      char* nl = (char*)memchr(p, '\n', tail - head);
+      if (nl) {
+        *nl = '\0';
+        last_len = (size_t)(nl - p);
+        head = (size_t)(nl - buf.data()) + 1;
+        return p;
+      }
+      if (!fill()) {
+        if (head == tail) return nullptr;
+        if (tail == buf.size()) buf.resize(buf.size() + 1);
+        buf[tail] = '\0';
+        char* q = buf.data() + head;
+        last_len = tail - head;
+        head = tail;
+        return q;
+      }
+    }
+  }
+
+  bool read(void* dst, size_t n) {   // exact-length binary read
+    uint8_t* d = (uint8_t*)dst;
+    while (n) {
+      size_t have = tail - head;
+      if (have) {
+        size_t k = have < n ? have : n;
+        memcpy(d, buf.data() + head, k);
+        head += k;
+        d += k;
+        n -= k;
+        continue;
+      }
+      if (!fill()) return false;
+    }
+    return true;
+  }
+};
+
+struct NameMap {
+  // open-addressing chrom-name lookup over borrowed c-strings: the
+  // per-record std::string construction + unordered_map::find of the
+  // naive version malloc'd on every SAM record
+  struct Slot { const char* key = nullptr; int val = -1; };
+  std::vector<Slot> slots;
+  void build(const std::vector<Chrom>& chroms) {
+    size_t cap = 16;
+    while (cap < chroms.size() * 2) cap <<= 1;
+    slots.assign(cap, {});
+    for (auto& ch : chroms) {
+      size_t m = cap - 1, i = hashs(ch.name.c_str()) & m;
+      while (slots[i].key) i = (i + 1) & m;
+      slots[i] = {ch.name.c_str(), ch.index};
+    }
+  }
+  static uint64_t hashs(const char* s) {
+    uint64_t h = 1469598103934665603ull;
+    for (; *s; s++) { h ^= (uint8_t)*s; h *= 1099511628211ull; }
+    return h;
+  }
+  int find(const char* k) const {
+    size_t m = slots.size() - 1, i = hashs(k) & m;
+    while (slots[i].key) {
+      if (!strcmp(slots[i].key, k)) return slots[i].val;
+      i = (i + 1) & m;
+    }
+    return -1;
+  }
 };
 
 void check_sam_header(Context* c, char* line) {
@@ -883,29 +981,41 @@ void check_sam_header(Context* c, char* line) {
 }
 
 uint64_t read_sam(Context* c, Reader& rd) {
-  std::vector<char> buf(MAX_LINE);
-  char* line = buf.data();
+  char* line;
   bool past_header = false;
   uint64_t count = 0;
+  NameMap cmap;              // built once the header is complete
+  bool cmap_built = false;
   c->read_name.clear();
-  while (rd.line(line, (int)MAX_LINE)) {
+  while ((line = rd.line()) != nullptr) {
     if (line[0] == '@') {
-      if (past_header) fail(line, ERRHEAD);
+      // the reference's payload is the fgets line incl. '\n'
+      if (past_header) fail(std::string(line) + "\n", ERRHEAD);
       check_sam_header(c, line);
       continue;
     }
     past_header = true;
-    // tokenize 11 fields + extra
-    char* save;
+    // tokenize 11 fields + extra (single-delimiter memchr scan, ~3x
+    // faster than strtok_r's per-call delimiter-set walk; delimiter
+    // runs are skipped exactly like strtok)
     char* f[11];
-    f[0] = strtok_r(line, "\t", &save);
-    if (!f[0]) fail(line, ERRSAM);
-    for (int i = 1; i < 11; i++) {
-      f[i] = strtok_r(nullptr, "\t", &save);
-      if (!f[i]) fail(f[0], ERRSAM);
+    char* p = line;
+    char* lend = line + rd.last_len;
+    bool f0_last = false;   // f[0] ran to end of line (the
+                            // reference's strtok token keeps '\n')
+    for (int i = 0; i < 11; i++) {
+      while (p < lend && *p == '\t') p++;
+      if (p >= lend)
+        fail(i == 0 ? std::string("\n")
+             : (i == 1 && f0_last ? std::string(f[0]) + "\n"
+                                  : std::string(f[0])), ERRSAM);
+      f[i] = p;
+      char* t = (char*)memchr(p, '\t', (size_t)(lend - p));
+      if (t) { *t = '\0'; p = t + 1; }
+      else { p = lend; if (i == 0) f0_last = true; }
     }
-    char* extra = strtok_r(nullptr, "\n", &save);
-    std::string qname = f[0];
+    char* extra = p < lend ? p : nullptr;
+    const char* qn = f[0];
     uint16_t flag = (uint16_t)get_long(f[1]);
     const char* rname = f[2];
     uint32_t pos = (uint32_t)(get_long(f[3]) - 1);
@@ -914,32 +1024,31 @@ uint64_t read_sam(Context* c, Reader& rd) {
     uint32_t pnext = (uint32_t)(get_long(f[7]) - 1);
     const char* seq = f[9];
     char* qual = f[10];
-    // strip trailing newline from qual if extra was absent
     size_t ql = strlen(qual);
-    if (ql && qual[ql - 1] == '\n') qual[--ql] = '\0';
 
     count++;
     if (flag & 0x4) { c->ctr.unmapped++; continue; }
-    if (qname == "*" || !strcmp(rname, "*")) fail(qname, ERRSAM);
+    if ((qn[0] == '*' && !qn[1]) || (rname[0] == '*' && !rname[1]))
+      fail(qn, ERRSAM);
     if (flag & 0xE00) { c->ctr.supp++; continue; }
-    auto it = c->by_name.find(rname);
-    if (it == c->by_name.end()) fail(rname, ERRCHROM);
+    if (!cmap_built) { cmap.build(c->chroms); cmap_built = true; }
+    int ci = cmap.find(rname);
+    if (ci < 0) fail(rname, ERRCHROM);
     if (mapq < c->opt.min_mapq) { c->ctr.low_mapq++; continue; }
 
     if (c->read_name.empty()
-        || qname.compare(0, std::string::npos, c->read_name) != 0) {
+        || strcmp(qn, c->read_name.c_str()) != 0) {
       flush_group(c);
-      c->read_name = qname.substr(0, MAX_ALNS);
+      c->read_name.assign(qn, strnlen(qn, MAX_ALNS));
     }
-    int length = calc_dist(qname, seq, cigar);
+    int length = calc_dist(c->read_name, seq, cigar);
     float score = sam_score(extra);
-    bool star = !strcmp(qual, "*");
-    if (!parse_align(c, flag, it->second, pos, length, pnext, score,
-                     (const uint8_t*)qual, (int)strlen(qual), 33,
-                     star)
+    bool star = qual[0] == '*' && !qual[1];
+    if (!parse_align(c, flag, ci, pos, length, pnext, score,
+                     (const uint8_t*)qual, (int)ql, 33, star)
         && c->opt.verbose)
       fprintf(stderr, "Warning! Read %s has more than %d alignments\n",
-              qname.c_str(), MAX_ALNS);
+              c->read_name.c_str(), MAX_ALNS);
   }
   flush_group(c);
   c->read_name.clear();
@@ -948,10 +1057,9 @@ uint64_t read_sam(Context* c, Reader& rd) {
 
 // ---- BAM parsing ----------------------------------------------------
 
-int32_t read_i32(gzFile gz, bool end_required, bool* eof) {
+int32_t read_i32(Reader& rd, bool end_required, bool* eof) {
   unsigned char b[4];
-  int n = gzread(gz, b, 4);
-  if (n < 4) {
+  if (!rd.read(b, 4)) {
     if (end_required) fail("", ERRBAM);
     *eof = true;
     return 0;
@@ -1015,11 +1123,10 @@ float bam_score(const uint8_t* extra, int len) {
 }
 
 uint64_t read_bam(Context* c, Reader& rd) {
-  gzFile gz = rd.gz;
   bool eof = false;
-  int32_t l_text = read_i32(gz, true, &eof);
+  int32_t l_text = read_i32(rd, true, &eof);
   std::vector<char> text(l_text + 1);
-  if (l_text > 0 && gzread(gz, text.data(), l_text) != l_text)
+  if (l_text > 0 && !rd.read(text.data(), l_text))
     fail("", ERRBAM);
   text[l_text] = '\0';
   // first line: @HD, SO check
@@ -1036,15 +1143,15 @@ uint64_t read_bam(Context* c, Reader& rd) {
     if (c->opt.sort_opt && (!order || strcmp(order, "queryname")))
       fail("", ERRSORT);
   }
-  int32_t n_ref = read_i32(gz, true, &eof);
+  int32_t n_ref = read_i32(rd, true, &eof);
   std::vector<int> idx(n_ref);
   for (int i = 0; i < n_ref; i++) {
-    int32_t l_name = read_i32(gz, true, &eof);
+    int32_t l_name = read_i32(rd, true, &eof);
     if (l_name < 1 || (size_t)l_name > MAX_LINE) fail("", ERRBAM);
     std::vector<char> nb(l_name);
-    if (gzread(gz, nb.data(), l_name) != l_name) fail("", ERRBAM);
+    if (!rd.read(nb.data(), l_name)) fail("", ERRBAM);
     if (nb[l_name - 1] != '\0') fail("", ERRBAM);
-    uint32_t l_ref = (uint32_t)read_i32(gz, true, &eof);
+    uint32_t l_ref = (uint32_t)read_i32(rd, true, &eof);
     idx[i] = save_chrom(c, nb.data(), l_ref);
   }
 
@@ -1053,12 +1160,11 @@ uint64_t read_bam(Context* c, Reader& rd) {
   c->read_name.clear();
   for (;;) {
     eof = false;
-    int32_t block_size = read_i32(gz, false, &eof);
+    int32_t block_size = read_i32(rd, false, &eof);
     if (eof) break;
     if (block_size < (int32_t)(6 * 4 + 2 * 4)) fail("", ERRBAM);
     block.resize(block_size);
-    if (gzread(gz, block.data(), block_size) != block_size)
-      fail("", ERRBAM);
+    if (!rd.read(block.data(), block_size)) fail("", ERRBAM);
     const uint8_t* b = block.data();
     auto rd32 = [&](int off) {
       return (int32_t)(b[off] | (b[off+1] << 8) | (b[off+2] << 16)
@@ -1076,7 +1182,7 @@ uint64_t read_bam(Context* c, Reader& rd) {
     int32_t next_pos = rd32(24);
     int off = 32;
     const char* rn = (const char*)b + off;
-    std::string qname(rn, strnlen(rn, l_read_name));
+    size_t rl = strnlen(rn, l_read_name);
     off += l_read_name;
     const uint8_t* cigar = b + off;
     off += n_cigar * 4;
@@ -1089,16 +1195,20 @@ uint64_t read_bam(Context* c, Reader& rd) {
 
     count++;
     if (flag & 0x4) { c->ctr.unmapped++; continue; }
-    if (qname == "*" || ref_id < 0 || ref_id >= n_ref
+    if ((rl == 1 && rn[0] == '*') || ref_id < 0 || ref_id >= n_ref
         || idx[ref_id] < 0 || idx[ref_id] >= (int)c->chroms.size()
         || pos < 0)
-      fail(qname, ERRSAM);
+      fail(std::string(rn, rl), ERRSAM);
     if (flag & 0xE00) { c->ctr.supp++; continue; }
     if (mapq < c->opt.min_mapq) { c->ctr.low_mapq++; continue; }
 
-    if (c->read_name.empty() || qname != c->read_name) {
+    // full name vs the MAX_ALNS-truncated stored one, like the
+    // reference's strcmp against its char[MAX_ALNS] buffer
+    if (c->read_name.size() != rl
+        || memcmp(rn, c->read_name.data(), rl) != 0) {
       flush_group(c);
-      c->read_name = qname.substr(0, MAX_ALNS);
+      c->read_name.assign(rn, rl < (size_t)MAX_ALNS
+                          ? rl : (size_t)MAX_ALNS);
     }
     // calcDistBAM
     int length = l_seq;
@@ -1117,7 +1227,7 @@ uint64_t read_bam(Context* c, Reader& rd) {
                      (uint32_t)next_pos, score, qual, l_seq, 0, star)
         && c->opt.verbose)
       fprintf(stderr, "Warning! Read %s has more than %d alignments\n",
-              qname.c_str(), MAX_ALNS);
+              c->read_name.c_str(), MAX_ALNS);
   }
   flush_group(c);
   c->read_name.clear();
