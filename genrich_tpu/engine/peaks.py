@@ -56,6 +56,20 @@ def call_peaks_chrom(stat_cov: np.ndarray, pval_cov: np.ndarray,
     n = len(stat_cov)
     if n == 0:
         return []
+
+    # native streaming caller (identical float32 semantics); the
+    # Python loop below is the reference implementation and fallback
+    from ..ingest import native as native_mod
+    nat = native_mod.call_peaks_native(stat_cov, pval_cov, qval_cov,
+                                       ends, min_pqval, min_auc,
+                                       min_len, max_gap)
+    if nat is not None:
+        p_start, p_end, auc, spv, sqv, spos = nat
+        return [Peak(int(p_start[i]), int(p_end[i]), auc[i], spv[i],
+                     sqv[i] if qval_cov is not None else F32(SKIP),
+                     int(spos[i]))
+                for i in range(len(p_start))]
+
     starts = np.concatenate([[0], ends[:-1]]).astype(np.int64)
     ends = np.asarray(ends, np.int64)
 

@@ -92,6 +92,59 @@ def _load(build: bool = True):
     return lib
 
 
+def call_peaks_native(stat, pval, qval, ends, min_pq, min_auc,
+                      min_len: int, max_gap: int):
+    """Native exact-f32 peak caller (gi_call_peaks), or None if the
+    library is absent.  Returns parallel numpy arrays
+    (start, end, auc, summit_pval, summit_qval, summit_pos)."""
+    try:
+        lib = _load(build=False)
+    except Exception:
+        return None
+    if not hasattr(lib, "_peaks_ready"):
+        pf = ctypes.POINTER(ctypes.c_float)
+        p64 = ctypes.POINTER(ctypes.c_int64)
+        lib.gi_call_peaks.restype = ctypes.c_int64
+        lib.gi_call_peaks.argtypes = [
+            pf, pf, pf, p64, ctypes.c_int64, ctypes.c_float,
+            ctypes.c_float, ctypes.c_int64, ctypes.c_int64,
+            p64, p64, pf, pf, pf, p64, ctypes.c_int64]
+        lib._peaks_ready = True
+    stat = np.ascontiguousarray(stat, np.float32)
+    pval = np.ascontiguousarray(pval, np.float32)
+    ends = np.ascontiguousarray(ends, np.int64)
+    n = len(stat)
+    sig = stat > np.float32(min_pq)
+    cap = int(np.count_nonzero(sig[1:] & ~sig[:-1])
+              + (1 if n and sig[0] else 0))
+    pf = ctypes.POINTER(ctypes.c_float)
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    if cap == 0:
+        z = np.zeros(0, np.float32)
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64), z, z,
+                z, np.zeros(0, np.int64))
+    o_start = np.empty(cap, np.int64)
+    o_end = np.empty(cap, np.int64)
+    o_auc = np.empty(cap, np.float32)
+    o_spv = np.empty(cap, np.float32)
+    o_sqv = np.empty(cap, np.float32)
+    o_spos = np.empty(cap, np.int64)
+    qarr = (np.ascontiguousarray(qval, np.float32)
+            if qval is not None else None)   # keep the buffer alive
+    qptr = qarr.ctypes.data_as(pf) if qarr is not None else None
+    got = lib.gi_call_peaks(
+        stat.ctypes.data_as(pf), pval.ctypes.data_as(pf), qptr,
+        ends.ctypes.data_as(p64), n, np.float32(min_pq),
+        np.float32(min_auc), int(min_len), int(max_gap),
+        o_start.ctypes.data_as(p64), o_end.ctypes.data_as(p64),
+        o_auc.ctypes.data_as(pf), o_spv.ctypes.data_as(pf),
+        o_sqv.ctypes.data_as(pf), o_spos.ctypes.data_as(p64),
+        cap)
+    assert got <= cap, (got, cap)
+    return (o_start[:got], o_end[:got], o_auc[:got], o_spv[:got],
+            o_sqv[:got], o_spos[:got])
+
+
 def breakpoints(start, end, count):
     """Native sorted nonzero-entry positions + cumulative class sums.
 

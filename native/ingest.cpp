@@ -1506,3 +1506,100 @@ void gi_breakpoints_fetch(void* h, int64_t* pos, int64_t* c0,
 }
 
 }  // extern "C"
+
+// ---- exact-order peak calling (engine/peaks.py hot loop) -------------
+//
+// Streaming replication of callPeaks/updatePeak/checkPeak
+// (Genrich.c:977-1069): sequential float32 AUC accumulation, summit
+// tie-breaking (p/q from the first max-stat interval, position from
+// the first longest one), SKIP hard breaks, gap joining.  The numpy
+// engine's per-interval Python loop costs ~4 us/interval; this runs
+// the same arithmetic at native speed.
+
+extern "C" {
+
+int64_t gi_call_peaks(const float* stat, const float* pval,
+                      const float* qval,          // null -> -1 column
+                      const int64_t* ends, int64_t n,
+                      float min_pq, float min_auc,
+                      int64_t min_len, int64_t max_gap,
+                      int64_t* o_start, int64_t* o_end, float* o_auc,
+                      float* o_spv, float* o_sqv, int64_t* o_spos,
+                      int64_t cap) {
+  int64_t count = 0;
+  bool have = false;
+  int64_t peak_start = 0, peak_end = 0;
+  float auc = 0.0f;
+  float summit_val = -1.0f, summit_pv = -1.0f, summit_qv = -1.0f;
+  uint32_t summit_pos = 0;
+  int64_t summit_len = 0;
+
+  int64_t start = 0;
+  for (int64_t m = 0; m <= n; m++) {
+    bool flush;
+    if (m == n) {
+      flush = true;
+    } else {
+      int64_t end = ends[m];
+      float pq = stat[m];
+      flush = false;
+      if (pq > min_pq) {
+        if (have && start - peak_end > max_gap) {
+          // too far: finalize the open peak first
+          if (auc >= min_auc && peak_end - peak_start >= min_len) {
+            if (count < cap) {
+              o_start[count] = peak_start; o_end[count] = peak_end;
+              o_auc[count] = auc; o_spv[count] = summit_pv;
+              o_sqv[count] = summit_qv;
+              o_spos[count] = (int64_t)summit_pos;
+            }
+            count++;
+          }
+          have = false;
+        }
+        if (!have) {
+          have = true;
+          peak_start = start;
+          auc = 0.0f;
+          summit_val = -1.0f; summit_pv = -1.0f; summit_qv = -1.0f;
+          summit_pos = 0; summit_len = 0;
+        }
+        peak_end = end;
+        int64_t length = end - start;
+        float lf = (float)(uint32_t)length;
+        float diff = pq - min_pq;
+        float prod = lf * diff;
+        auc = auc + prod;
+        if (pq > summit_val) {
+          summit_val = pq;
+          summit_pv = pval[m];
+          summit_qv = qval ? qval[m] : -1.0f;
+          summit_pos = (uint32_t)(uint64_t)(end + start) / 2
+                       - (uint32_t)peak_start;
+          summit_len = length;
+        } else if (pq == summit_val && length > summit_len) {
+          summit_pos = (uint32_t)(uint64_t)(end + start) / 2
+                       - (uint32_t)peak_start;
+          summit_len = length;
+        }
+      } else if (pq == -1.0f) {
+        flush = true;               // SKIP hard-breaks peaks
+      }
+      start = end;
+    }
+    if (flush && have) {
+      if (auc >= min_auc && peak_end - peak_start >= min_len) {
+        if (count < cap) {
+          o_start[count] = peak_start; o_end[count] = peak_end;
+          o_auc[count] = auc; o_spv[count] = summit_pv;
+          o_sqv[count] = summit_qv; o_spos[count] = (int64_t)summit_pos;
+        }
+        count++;
+      }
+      have = false;
+    }
+  }
+  return count;
+}
+
+}  // extern "C"
