@@ -25,6 +25,9 @@ EVENTS_PER_TILE = 1 << 19           # ~88M fragments genome-wide
 
 
 def main() -> None:
+    from genrich_tpu.utils.xla_cache import enable_compile_cache
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
 

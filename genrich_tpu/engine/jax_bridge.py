@@ -45,23 +45,8 @@ def _pad_pow2(n: int, lo: int = 1 << 10) -> int:
     return size
 
 
-def _enable_compile_cache():
-    cache = os.environ.get("GENRICH_TPU_XLA_CACHE")
-    if cache == "":
-        return
-    if cache is None:
-        cache = os.path.join(os.path.expanduser("~"), ".cache",
-                             "genrich_tpu", "xla")
-    try:
-        os.makedirs(cache, exist_ok=True)
-        import jax
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
-                          -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          0)
-    except Exception:
-        pass  # cache is an optimization only
+from ..utils.xla_cache import enable_compile_cache \
+    as _enable_compile_cache
 
 
 class JaxEngine:

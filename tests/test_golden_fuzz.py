@@ -12,7 +12,7 @@ sys.path.insert(0, os.path.dirname(__file__))
 import oracle  # noqa: E402
 
 
-@pytest.mark.parametrize("seed", range(100, 108))
+@pytest.mark.parametrize("seed", range(100, 124))
 def test_fuzz_config(tmp_path, seed):
     rng = random.Random(seed)
     chroms = [(f"chr{i}", rng.randrange(20_000, 200_000))
@@ -24,7 +24,29 @@ def test_fuzz_config(tmp_path, seed):
                       read_len=rng.choice((36, 50, 100)),
                       with_scores=rng.random() < 0.8,
                       cluster=rng.random() < 0.8)
+    t_files = [sam]
+    if rng.random() < 0.25:   # multi-replicate Fisher
+        rep2 = str(tmp_path / "rep2.sam")
+        oracle.random_sam(rep2, chroms=tuple(chroms),
+                          n_pairs=rng.randrange(50, 300),
+                          seed=seed + 9000)
+        t_files.append(rep2)
     flags = ["-o", "out.np", "-f", "out.log"]
+    if rng.random() < 0.3:    # control sample(s)
+        if rng.random() < 0.3:
+            flags += ["-c", "null"]
+        else:
+            ctrl = str(tmp_path / "ctrl.sam")
+            oracle.random_sam(ctrl, chroms=tuple(chroms),
+                              n_pairs=rng.randrange(50, 300),
+                              seed=seed + 5000, cluster=False)
+            flags += ["-c", ctrl]
+    if rng.random() < 0.2 and len(chroms) > 1:
+        flags += ["-e", chroms[-1][0]]
+    if rng.random() < 0.3:
+        flags += ["-k", "out.k"]
+    if rng.random() < 0.3:
+        flags += ["-b", "out.bed"]
     if rng.random() < 0.7:
         flags.append("-y")
     mode = rng.random()
@@ -62,12 +84,13 @@ def test_fuzz_config(tmp_path, seed):
     d_new = tmp_path / "new"
     d_ref.mkdir()
     d_new.mkdir()
-    r1 = oracle.run_oracle(["-t", sam] + flags + ["-v"], cwd=str(d_ref))
-    r2 = oracle.run_ours(["-t", sam] + flags + ["-v"], cwd=str(d_new))
+    targs = ["-t", ",".join(t_files)]
+    r1 = oracle.run_oracle(targs + flags + ["-v"], cwd=str(d_ref))
+    r2 = oracle.run_ours(targs + flags + ["-v"], cwd=str(d_new))
     assert r1.returncode == r2.returncode, (flags, r1.stderr[-300:],
                                             r2.stderr[-1200:])
     assert r1.stderr == r2.stderr, (flags,)
-    for name in ("out.np", "out.log"):
+    for name in ("out.np", "out.log", "out.k", "out.bed"):
         fa, fb = d_ref / name, d_new / name
         assert fa.exists() == fb.exists()
         if fa.exists():
