@@ -433,7 +433,7 @@ def _save_pval(registry: ChromRegistry, n: int,
             continue
         ends, ev, cv = pvalue.merge_pileups(expt[c.index],
                                             ctrl[c.index])
-        pv = pvalue.calc_pval(ev, cv)
+        pv = pvalue.calc_pval_unique(ev, cv)
         lst.append(Pileup(ends, pv))
         if pile_stream is not None:
             start = 0
