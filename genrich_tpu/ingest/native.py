@@ -145,6 +145,66 @@ def call_peaks_native(stat, pval, qval, ends, min_pq, min_auc,
             o_sqv[:got], o_spos[:got])
 
 
+def call_peaks_log_native(path: str, idx_p: int, idx_q: int,
+                          use_q: bool, min_pq, min_auc,
+                          min_len: int, max_gap: int,
+                          genome_opt: bool):
+    """Native -P fast path (gi_call_peaks_log), or None when the
+    library is absent or the log needs the Python state machine
+    (anomalous rows, post-hoc exclusions are gated by the caller).
+
+    Returns (names, sec, start, end, auc, spv, sqv, spos,
+    genome_len, peak_bp)."""
+    try:
+        lib = _load(build=False)
+    except Exception:
+        return None
+    if not hasattr(lib, "_log_ready"):
+        pf = ctypes.POINTER(ctypes.c_float)
+        p64 = ctypes.POINTER(ctypes.c_int64)
+        p32 = ctypes.POINTER(ctypes.c_int32)
+        lib.gi_call_peaks_log.restype = ctypes.c_int64
+        lib.gi_call_peaks_log.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int]
+        lib.gi_log_section_count.restype = ctypes.c_int32
+        lib.gi_log_section_name.restype = ctypes.c_char_p
+        lib.gi_log_section_name.argtypes = [ctypes.c_int32]
+        lib.gi_log_peaks_fetch.argtypes = [
+            p32, p64, p64, pf, pf, pf, p64, p64, p64]
+        lib._log_ready = True
+    got = lib.gi_call_peaks_log(
+        path.encode(), idx_p, idx_q, int(use_q),
+        np.float32(min_pq), np.float32(min_auc), int(min_len),
+        int(max_gap), int(genome_opt))
+    if got < 0:
+        return None
+    n = int(got)
+    sec = np.empty(max(n, 1), np.int32)
+    start = np.empty(max(n, 1), np.int64)
+    end = np.empty(max(n, 1), np.int64)
+    auc = np.empty(max(n, 1), np.float32)
+    spv = np.empty(max(n, 1), np.float32)
+    sqv = np.empty(max(n, 1), np.float32)
+    spos = np.empty(max(n, 1), np.int64)
+    glen = ctypes.c_int64()
+    pbp = ctypes.c_int64()
+    pf = ctypes.POINTER(ctypes.c_float)
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    p32 = ctypes.POINTER(ctypes.c_int32)
+    lib.gi_log_peaks_fetch(
+        sec.ctypes.data_as(p32), start.ctypes.data_as(p64),
+        end.ctypes.data_as(p64), auc.ctypes.data_as(pf),
+        spv.ctypes.data_as(pf), sqv.ctypes.data_as(pf),
+        spos.ctypes.data_as(p64), ctypes.byref(glen),
+        ctypes.byref(pbp))
+    names = [lib.gi_log_section_name(i).decode()
+             for i in range(lib.gi_log_section_count())]
+    return (names, sec[:n], start[:n], end[:n], auc[:n], spv[:n],
+            sqv[:n], spos[:n], int(glen.value), int(pbp.value))
+
+
 def breakpoints(start, end, count):
     """Native sorted nonzero-entry positions + cumulative class sums.
 

@@ -129,6 +129,41 @@ def find_peaks_only(p: Params) -> None:
     idx_p, idx_q = _get_idx(header, p.qval_opt)
     idx = idx_q if p.qval_opt else idx_p
 
+    # native fast path: the common resume case (no post-hoc -e/-E, a
+    # regular file); anomalies fall back to the Python machine below
+    if not xbed and not p.xchr_list and p.log_file != "-" \
+            and p.ingest in ("auto", "native"):
+        from .ingest import native as native_mod
+        nat = native_mod.call_peaks_log_native(
+            p.log_file, idx_p, idx_q, p.qval_opt, p.pqvalue,
+            p.min_auc, p.min_len, p.max_gap, p.genome_len == 0)
+        if nat is not None:
+            (names, sec, starts, ends_, aucs, spvs, sqvs, sposs,
+             glen, peak_bp) = nat
+            for i in range(len(sec)):
+                write_peak(out, names[sec[i]],
+                           Peak(int(starts[i]), int(ends_[i]),
+                                aucs[i], spvs[i], sqvs[i],
+                                int(sposs[i])), i)
+            if p.verbose:
+                genome_len = p.genome_len or glen
+                warn("Peak-calling parameters:\n")
+                warn(f"  Genome length: {_i64(genome_len)}bp\n")
+                warn(f"  Significance threshold: "
+                     f"-log({'q' if p.qval_opt else 'p'}) > "
+                     f"{fmt_prec(F32(p.pqvalue), 3)}\n")
+                warn(f"  Min. AUC: {fmt_prec(p.min_auc, 3)}\n")
+                if p.min_len:
+                    warn(f"  Min. peak length: {p.min_len}bp\n")
+                warn(f"  Max. gap between sites: {p.max_gap}bp\n")
+                warn(f"Peaks identified: {len(sec)} ({peak_bp}bp)\n")
+            stream.close()
+            if out is not None:
+                import sys
+                if out is not sys.stdout:
+                    out.close()
+            return
+
     st = _PeakState(out, p.min_auc, p.min_len)
     genome_opt = p.genome_len == 0
     genome_len = p.genome_len

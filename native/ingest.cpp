@@ -1620,3 +1620,172 @@ int64_t gi_call_peaks(const float* stat, const float* pval,
 }
 
 }  // extern "C"
+
+// ---- peaks-only re-analysis from a -f log (-P fast path) -------------
+//
+// Streaming replication of callPeaksLog (Genrich.c:1277-1488) for the
+// common resume case: no post-hoc -e/-E exclusions.  Any anomaly
+// (short row, empty field, parse failure) returns -1 and the Python
+// state machine (genrich_tpu/logreader.py) re-runs the file from
+// scratch so error output stays byte-identical.
+
+namespace {
+struct LogPeaks {
+  std::vector<std::string> names;     // one per chromosome section
+  std::vector<int32_t> sec;
+  std::vector<int64_t> start, end, spos;
+  std::vector<float> auc, spv, sqv;
+  int64_t genome_len = 0, peak_bp = 0;
+};
+thread_local LogPeaks g_lp;
+}  // namespace
+
+extern "C" {
+
+int64_t gi_call_peaks_log(const char* path, int32_t idx_p,
+                          int32_t idx_q, int use_q, float min_pq,
+                          float min_auc, int64_t min_len,
+                          int64_t max_gap, int genome_opt) {
+  LogPeaks& lp = g_lp;
+  lp = LogPeaks();
+  Reader rd(path);
+  if (!rd.gz) return -1;
+  if (!rd.line()) return -1;          // header (validated in Python)
+
+  int32_t idx_max = use_q && idx_q > idx_p ? idx_q : idx_p;
+
+  // peak state (mirrors logreader._PeakState)
+  int64_t peak_start = -1, peak_end = -1;
+  float auc = 0.0f, summit_val = -1.0f;
+  float summit_pv = -1.0f, summit_qv = -1.0f;
+  int64_t summit_len = 0;
+  uint32_t summit_pos = 0;
+  int32_t cur_sec = -1;
+
+  auto check = [&](int32_t s) {
+    if (peak_start != -1 && auc >= min_auc
+        && peak_end - peak_start >= min_len) {
+      lp.sec.push_back(s);
+      lp.start.push_back(peak_start);
+      lp.end.push_back(peak_end);
+      lp.auc.push_back(auc);
+      lp.spv.push_back(summit_pv);
+      lp.sqv.push_back(summit_qv);
+      lp.spos.push_back((int64_t)summit_pos);
+      lp.peak_bp += peak_end - peak_start;
+    }
+  };
+  auto reset = [&]() {
+    peak_start = -1;
+    summit_val = -1.0f; summit_pv = -1.0f; summit_qv = -1.0f;
+    summit_len = 0; summit_pos = 0; auc = 0.0f;
+  };
+
+  std::string prev;
+  char* line;
+  while ((line = rd.line()) != nullptr) {
+    // split on tabs, keeping empty fields (any empty field bails)
+    char* f[64];
+    int nf = 0;
+    char* p = line;
+    char* lend = line + rd.last_len;
+    while (nf < 64) {
+      f[nf++] = p;
+      char* t = (char*)memchr(p, '\t', (size_t)(lend - p));
+      if (!t) break;
+      *t = '\0';
+      p = t + 1;
+    }
+    if (nf == 64) return -1;        // oversized row: Python path
+    if (nf <= idx_max || nf < 3) return -1;
+    if (!f[0][0] || !f[1][0] || !f[2][0]) return -1;
+
+    char* endp;
+    long long sv = strtoll(f[1], &endp, 10);
+    if (endp == f[1] || *endp) return -1;
+    long long ev = strtoll(f[2], &endp, 10);
+    if (endp == f[2] || *endp) return -1;
+    uint32_t start = (uint32_t)sv;
+    uint32_t end = (uint32_t)ev;
+
+    if (prev.empty() || strcmp(f[0], prev.c_str()) != 0) {
+      check(cur_sec);
+      reset();
+      lp.names.emplace_back(f[0]);
+      cur_sec = (int32_t)lp.names.size() - 1;
+      prev = f[0];
+    }
+
+    const char* stat = f[use_q ? idx_q : idx_p];
+    if (!strcmp(stat, "NA")) {
+      check(cur_sec);
+      reset();
+      continue;
+    }
+    float pqval = strtof(stat, &endp);
+    if (endp == stat || *endp) return -1;
+
+    if (genome_opt) lp.genome_len += (int64_t)end - (int64_t)start;
+    if (pqval > min_pq) {
+      // updatePeak (Genrich.c:943-970) in float32
+      uint32_t length = end - start;
+      float lf = (float)length;
+      float diff = pqval - min_pq;
+      float prod = lf * diff;
+      auc = auc + prod;
+      if (peak_start == -1) peak_start = (int64_t)start;
+      peak_end = (int64_t)end;
+      float pv, qv;
+      if (use_q) {
+        pv = strtof(f[idx_p], &endp);
+        if (endp == f[idx_p] || *endp) return -1;
+        qv = pqval;
+      } else {
+        pv = pqval;
+        qv = -1.0f;
+      }
+      if (pqval > summit_val) {
+        summit_val = pqval;
+        summit_pv = pv;
+        summit_qv = qv;
+        summit_pos = (start + end) / 2 - (uint32_t)peak_start;
+        summit_len = (int64_t)length;
+      } else if (pqval == summit_val && (int64_t)length > summit_len) {
+        summit_pos = (start + end) / 2 - (uint32_t)peak_start;
+        summit_len = (int64_t)length;
+      }
+    } else if ((int64_t)end - peak_end > max_gap) {
+      check(cur_sec);
+      reset();
+    }
+  }
+  check(cur_sec);
+  return (int64_t)lp.sec.size();
+}
+
+int32_t gi_log_section_count() {
+  return (int32_t)g_lp.names.size();
+}
+
+const char* gi_log_section_name(int32_t i) {
+  return g_lp.names[(size_t)i].c_str();
+}
+
+void gi_log_peaks_fetch(int32_t* sec, int64_t* start, int64_t* end,
+                        float* auc, float* spv, float* sqv,
+                        int64_t* spos, int64_t* genome_len,
+                        int64_t* peak_bp) {
+  LogPeaks& lp = g_lp;
+  size_t n = lp.sec.size();
+  memcpy(sec, lp.sec.data(), n * sizeof(int32_t));
+  memcpy(start, lp.start.data(), n * sizeof(int64_t));
+  memcpy(end, lp.end.data(), n * sizeof(int64_t));
+  memcpy(auc, lp.auc.data(), n * sizeof(float));
+  memcpy(spv, lp.spv.data(), n * sizeof(float));
+  memcpy(sqv, lp.sqv.data(), n * sizeof(float));
+  memcpy(spos, lp.spos.data(), n * sizeof(int64_t));
+  *genome_len = lp.genome_len;
+  *peak_bp = lp.peak_bp;
+}
+
+}  // extern "C"
