@@ -205,6 +205,88 @@ def call_peaks_log_native(path: str, idx_p: int, idx_q: int,
             sqv[:n], spos[:n], int(glen.value), int(pbp.value))
 
 
+def _rowlog_lib():
+    try:
+        lib = _load(build=False)
+    except Exception:
+        return None
+    if not hasattr(lib, "_rows_ready"):
+        pf = ctypes.POINTER(ctypes.c_float)
+        p64 = ctypes.POINTER(ctypes.c_int64)
+        pu8 = ctypes.POINTER(ctypes.c_uint8)
+        lib.gi_append_text.restype = ctypes.c_int64
+        lib.gi_append_text.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                       ctypes.c_char_p,
+                                       ctypes.c_int64]
+        lib.gi_write_log_rows.restype = ctypes.c_int64
+        lib.gi_write_log_rows.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
+            p64, p64, pf, pf, pf, pf, pu8, ctypes.c_int64]
+        lib.gi_write_pile_rows.restype = ctypes.c_int64
+        lib.gi_write_pile_rows.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
+            p64, p64, pf, pf, pf, ctypes.c_int64]
+        lib._rows_ready = True
+    return lib
+
+
+def append_text(path: str, gz: bool, text: str) -> bool:
+    lib = _rowlog_lib()
+    if lib is None:
+        return False
+    data = text.encode()
+    return lib.gi_append_text(path.encode(), int(gz), data,
+                              len(data)) == 0
+
+
+def write_log_rows(path: str, gz: bool, name: str, starts, ends,
+                   expt, ctrl, pval, qval, sig) -> bool:
+    """Bulk -f rows (printInterval formats); False if lib absent."""
+    lib = _rowlog_lib()
+    if lib is None:
+        return False
+    pf = ctypes.POINTER(ctypes.c_float)
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    pu8 = ctypes.POINTER(ctypes.c_uint8)
+    starts = np.ascontiguousarray(starts, np.int64)
+    ends = np.ascontiguousarray(ends, np.int64)
+    expt = np.ascontiguousarray(expt, np.float32)
+    ctrl = np.ascontiguousarray(ctrl, np.float32)
+    pval = np.ascontiguousarray(pval, np.float32)
+    qarr = (np.ascontiguousarray(qval, np.float32)
+            if qval is not None else None)
+    sarr = (np.ascontiguousarray(sig, np.uint8)
+            if sig is not None else None)
+    return lib.gi_write_log_rows(
+        path.encode(), int(gz), name.encode(),
+        starts.ctypes.data_as(p64), ends.ctypes.data_as(p64),
+        expt.ctypes.data_as(pf), ctrl.ctypes.data_as(pf),
+        pval.ctypes.data_as(pf),
+        qarr.ctypes.data_as(pf) if qarr is not None else None,
+        sarr.ctypes.data_as(pu8) if sarr is not None else None,
+        len(starts)) == 0
+
+
+def write_pile_rows(path: str, gz: bool, name: str, starts, ends,
+                    expt, ctrl, pval) -> bool:
+    """Bulk -k rows (printPile formats); False if lib absent."""
+    lib = _rowlog_lib()
+    if lib is None:
+        return False
+    pf = ctypes.POINTER(ctypes.c_float)
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    starts = np.ascontiguousarray(starts, np.int64)
+    ends = np.ascontiguousarray(ends, np.int64)
+    expt = np.ascontiguousarray(expt, np.float32)
+    ctrl = np.ascontiguousarray(ctrl, np.float32)
+    pval = np.ascontiguousarray(pval, np.float32)
+    return lib.gi_write_pile_rows(
+        path.encode(), int(gz), name.encode(),
+        starts.ctypes.data_as(p64), ends.ctypes.data_as(p64),
+        expt.ctypes.data_as(pf), ctrl.ctypes.data_as(pf),
+        pval.ctypes.data_as(pf), len(starts)) == 0
+
+
 def breakpoints(start, end, count):
     """Native sorted nonzero-entry positions + cumulative class sums.
 

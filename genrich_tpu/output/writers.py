@@ -25,6 +25,54 @@ def _i32(x: int) -> int:
     return x - (1 << 32) if x >= (1 << 31) else x
 
 
+class RowLog:
+    """Path-backed append log with native bulk-row fast paths.
+
+    Behaves like a text stream for headers and odd rows (buffered,
+    appended via the native library so interleaving with the bulk
+    writers keeps file order); per-chromosome interval blocks go
+    through gi_write_log_rows/gi_write_pile_rows at fprintf speed.
+    Gzip targets gain one member per append; decompressed bytes match
+    the reference's single-member stream.
+    """
+
+    def __init__(self, path: str, gz: bool):
+        from ..io import files
+        from ..ingest import native as native_mod
+        self._nat = native_mod
+        self.path = files.resolve_out_path(path, gz)
+        self.gz = gz
+        self._buf: List[str] = []
+        open(self.path, "wb").close()
+
+    def write(self, text: str) -> None:
+        self._buf.append(text)
+        if len(self._buf) >= 65536:
+            self.flush()
+
+    def flush(self) -> None:
+        if self._buf:
+            self._nat.append_text(self.path, self.gz,
+                                  "".join(self._buf))
+            self._buf = []
+
+    def log_rows(self, name, starts, ends, expt, ctrl, pval, qval,
+                 sig) -> bool:
+        self.flush()
+        return self._nat.write_log_rows(self.path, self.gz, name,
+                                        starts, ends, expt, ctrl,
+                                        pval, qval, sig)
+
+    def pile_rows(self, name, starts, ends, expt, ctrl, pval) -> bool:
+        self.flush()
+        return self._nat.write_pile_rows(self.path, self.gz, name,
+                                         starts, ends, expt, ctrl,
+                                         pval)
+
+    def close(self) -> None:
+        self.flush()
+
+
 def write_peak(out, name: str, peak: Peak, count: int) -> None:
     """printPeak: one narrowPeak row; ``count`` is the global index."""
     score = peak_score(peak.auc, peak.end - peak.start)

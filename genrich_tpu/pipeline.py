@@ -336,12 +336,16 @@ def _replicate_jax(eng, registry: ChromRegistry,
         ctrl_out[c.index] = cpu_
         lst.append(pu)
         if pile_stream is not None:
-            start = 0
+            starts = np.concatenate([[0], pu.end[:-1]])
+            if isinstance(pile_stream, writers.RowLog) \
+                    and pile_stream.pile_rows(c.name, starts, pu.end,
+                                              epu.cov, cpu_.cov,
+                                              pu.cov):
+                continue
             for m in range(len(pu.end)):
-                writers.pile_row(pile_stream, c.name, start,
+                writers.pile_row(pile_stream, c.name, int(starts[m]),
                                  int(pu.end[m]), epu.cov[m],
                                  cpu_.cov[m], pu.cov[m])
-                start = int(pu.end[m])
     eng.release()
     return expt_out, ctrl_out
 
@@ -436,11 +440,14 @@ def _save_pval(registry: ChromRegistry, n: int,
         pv = pvalue.calc_pval_unique(ev, cv)
         lst.append(Pileup(ends, pv))
         if pile_stream is not None:
-            start = 0
+            starts = np.concatenate([[0], ends[:-1]])
+            if isinstance(pile_stream, writers.RowLog) \
+                    and pile_stream.pile_rows(c.name, starts, ends,
+                                              ev, cv, pv):
+                continue
             for m in range(len(ends)):
-                writers.pile_row(pile_stream, c.name, start,
+                writers.pile_row(pile_stream, c.name, int(starts[m]),
                                  int(ends[m]), ev[m], cv[m], pv[m])
-                start = int(ends[m])
 
 
 def log_counts(counters: FileCounters, registry: ChromRegistry,
@@ -647,6 +654,12 @@ def _call_peaks(registry, pvals, qvals, n, expt, ctrl, out_stream,
             peak_bp += pk.end - pk.start
         if log_stream is not None:
             sig_mask = stat > F32(p.pqvalue)
+            if n == 0 and isinstance(log_stream, writers.RowLog) \
+                    and log_stream.log_rows(
+                        c.name, starts, ends, ev, cv, pv.cov,
+                        qv.cov if p.qval_opt and qv is not None
+                        else None, sig_mask):
+                continue
             for m in range(len(ends)):
                 _write_log_row(log_stream, c, m, starts, ends, ev, cv,
                                reps, pv, qv, p, n, bool(sig_mask[m]))
@@ -661,6 +674,12 @@ def _log_intervals(registry, pvals, qvals, n, expt, ctrl, log_stream,
     for (c, pv, qv, starts, ends, ev, cv,
          reps) in _iter_log_rows(registry, pvals, qvals, n, expt,
                                  ctrl, p):
+        if n == 0 and isinstance(log_stream, writers.RowLog) \
+                and log_stream.log_rows(
+                    c.name, starts, ends, ev, cv, pv.cov,
+                    qv.cov if p.qval_opt and qv is not None
+                    else None, None):
+            continue
         for m in range(len(ends)):
             _write_log_row(log_stream, c, m, starts, ends, ev, cv,
                            reps, pv, qv, p, n, False)
@@ -704,8 +723,14 @@ def run(p: Params) -> None:
             if p.bed_file else None
         dups_stream = files.open_write(p.dups_file, p.gz_out) \
             if p.dups_opt and p.dups_file else None
-    pile_stream = files.open_write(p.pile_file, p.gz_out) \
-        if p.pile_file else None
+    def _row_stream(path):
+        if path is None:
+            return None
+        if nat is not None and path != "-":
+            return writers.RowLog(path, p.gz_out)
+        return files.open_write(path, p.gz_out)
+
+    pile_stream = _row_stream(p.pile_file)
 
     pvals: Dict[int, List[Optional[Pileup]]] = {}
     expt_pu: Dict[int, Pileup] = {}
@@ -795,8 +820,7 @@ def run(p: Params) -> None:
 
     out_stream = files.open_write(p.out_file, p.gz_out) \
         if p.peaks_opt else None
-    log_stream = files.open_write(p.log_file, p.gz_out) \
-        if p.log_file else None
+    log_stream = _row_stream(p.log_file)
 
     with stage("findPeaks"):
         if full_device:

@@ -1789,3 +1789,106 @@ void gi_log_peaks_fetch(int32_t* sec, int64_t* start, int64_t* end,
 }
 
 }  // extern "C"
+
+// ---- bulk log-row writers (-f / -k, printInterval/printPile) ---------
+//
+// The Python writers format one row at a time (~2 us/row); these
+// append whole per-chromosome blocks with fprintf/gzprintf, using the
+// exact reference formats (Genrich.c:770-803, 1697-1715).  Appending
+// to gzip paths adds a new member per block; decompressed content is
+// identical to the reference's single-member stream.
+
+extern "C" {
+
+int64_t gi_append_text(const char* path, int gz, const char* data,
+                       int64_t len) {
+  if (gz) {
+    gzFile f = gzopen(path, "ab");
+    if (!f) return -1;
+    int64_t done = 0;
+    while (done < len) {
+      int chunk = (int)((len - done) > (1 << 28) ? (1 << 28)
+                                                 : (len - done));
+      if (gzwrite(f, data + done, (unsigned)chunk) != chunk) {
+        gzclose(f);
+        return -1;
+      }
+      done += chunk;
+    }
+    gzclose(f);
+  } else {
+    FILE* f = fopen(path, "ab");
+    if (!f) return -1;
+    if (len && fwrite(data, 1, (size_t)len, f) != (size_t)len) {
+      fclose(f);
+      return -1;
+    }
+    fclose(f);
+  }
+  return 0;
+}
+
+static void row_common(char* buf, int* off, const char* name,
+                       int64_t start, int64_t end) {
+  *off = sprintf(buf, "%s\t%d\t%d\t", name,
+                 (int32_t)(uint32_t)start, (int32_t)(uint32_t)end);
+}
+
+int64_t gi_write_log_rows(const char* path, int gz, const char* name,
+                          const int64_t* starts, const int64_t* ends,
+                          const float* expt, const float* ctrl,
+                          const float* pval, const float* qval,
+                          const uint8_t* sig, int64_t n) {
+  gzFile zf = nullptr;
+  FILE* f = nullptr;
+  if (gz) { zf = gzopen(path, "ab"); if (!zf) return -1; }
+  else { f = fopen(path, "ab"); if (!f) return -1; }
+  char buf[4096];
+  for (int64_t m = 0; m < n; m++) {
+    int off;
+    row_common(buf, &off, name, starts[m], ends[m]);
+    if (ctrl[m] == -1.0f) {
+      off += sprintf(buf + off, "%f\t%f\tNA", (double)expt[m], 0.0);
+      if (qval) off += sprintf(buf + off, "\tNA");
+    } else {
+      off += sprintf(buf + off, "%f\t%f\t%f", (double)expt[m],
+                     (double)ctrl[m], (double)pval[m]);
+      if (qval) off += sprintf(buf + off, "\t%f", (double)qval[m]);
+      if (sig && sig[m]) off += sprintf(buf + off, "\t*");
+    }
+    buf[off++] = '\n';
+    if (gz) { if (gzwrite(zf, buf, (unsigned)off) != off) break; }
+    else fwrite(buf, 1, (size_t)off, f);
+  }
+  if (zf) gzclose(zf);
+  if (f) fclose(f);
+  return 0;
+}
+
+int64_t gi_write_pile_rows(const char* path, int gz, const char* name,
+                           const int64_t* starts, const int64_t* ends,
+                           const float* expt, const float* ctrl,
+                           const float* pval, int64_t n) {
+  gzFile zf = nullptr;
+  FILE* f = nullptr;
+  if (gz) { zf = gzopen(path, "ab"); if (!zf) return -1; }
+  else { f = fopen(path, "ab"); if (!f) return -1; }
+  char buf[4096];
+  for (int64_t m = 0; m < n; m++) {
+    int off;
+    row_common(buf, &off, name, starts[m], ends[m]);
+    if (ctrl[m] == -1.0f)
+      off += sprintf(buf + off, "%f\t%f\tNA", (double)expt[m], 0.0);
+    else
+      off += sprintf(buf + off, "%f\t%f\t%f", (double)expt[m],
+                     (double)ctrl[m], (double)pval[m]);
+    buf[off++] = '\n';
+    if (gz) { if (gzwrite(zf, buf, (unsigned)off) != off) break; }
+    else fwrite(buf, 1, (size_t)off, f);
+  }
+  if (zf) gzclose(zf);
+  if (f) fclose(f);
+  return 0;
+}
+
+}  // extern "C"
