@@ -17,11 +17,17 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <condition_variable>
+#include <deque>
+#include <memory>
+#include <mutex>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 #include <algorithm>
 #include <zlib.h>
+#include <sys/stat.h>
 
 namespace {
 
@@ -852,19 +858,221 @@ float sam_score(char* extra) {
   return NOSCORE;
 }
 
+// ---- multithreaded BGZF decompression --------------------------------
+//
+// BAM files (and bgzip'd SAM/logs) are BGZF: a series of independent
+// <=64 KB gzip members, each carrying its compressed size in a 'BC'
+// extra subfield (SAM spec §4.1).  The reference decompresses them
+// serially inside gzread; here a worker pool inflates blocks ahead of
+// the parse thread, overlapping decompression with record parsing and
+// scaling with cores.  Byte stream delivered is identical to gzread's.
+
+int bgzf_threads() {
+  // workers = GENRICH_THREADS-1 (one core stays with the parse loop);
+  // default: hardware_concurrency-1, capped at 7.  0 disables MT.
+  const char* e = getenv("GENRICH_THREADS");
+  if (e && *e) {
+    int v = atoi(e);
+    return v > 1 ? (v > 32 ? 32 : v) - 1 : 0;
+  }
+  unsigned hw = std::thread::hardware_concurrency();
+  return hw >= 2 ? (int)(hw - 1 < 7 ? hw - 1 : 7) : 0;
+}
+
+struct BgzfMT {
+  FILE* f;
+  struct Slot {
+    std::vector<uint8_t> comp, out;
+    size_t comp_len = 0, out_len = 0;
+    uint32_t isize = 0, crc = 0;
+    int state = 0;             // 0 free, 1 compressed, 2 inflated
+    bool bad = false;
+  };
+  std::vector<Slot> ring;
+  std::deque<uint64_t> work;   // block seqs ready to inflate
+  uint64_t prod = 0, cons = 0; // produced / consumed block seqs
+  size_t cons_off = 0;         // bytes already taken from slot `cons`
+  bool eof_in = false, shutdown_ = false, corrupt = false;
+  std::mutex mu;
+  std::condition_variable cv_work, cv_done;
+  std::vector<std::thread> workers;
+
+  BgzfMT(FILE* fh, int nthreads)
+      : f(fh), ring((size_t)(4 * nthreads + 4)) {
+    for (int i = 0; i < nthreads; i++)
+      workers.emplace_back([this] { worker(); });
+  }
+  ~BgzfMT() {
+    { std::lock_guard<std::mutex> lk(mu); shutdown_ = true; }
+    cv_work.notify_all();
+    for (auto& t : workers) t.join();
+    fclose(f);
+  }
+
+  // Read the next BGZF block into ring[prod % n] (caller guarantees
+  // that slot is free; only the consumer thread touches f).  false at
+  // EOF; a malformed stream sets `corrupt` and reads as EOF, matching
+  // the gzread error behavior of the serial path.
+  bool produce_one() {
+    Slot& s = ring[prod % ring.size()];
+    uint8_t hdr[12];
+    size_t n = fread(hdr, 1, 12, f);
+    if (n == 0) { eof_in = true; return false; }
+    if (n < 12 || hdr[0] != 0x1f || hdr[1] != 0x8b || hdr[2] != 8 ||
+        !(hdr[3] & 4)) { corrupt = eof_in = true; return false; }
+    unsigned xlen = hdr[10] | ((unsigned)hdr[11] << 8);
+    uint8_t extra[65536];
+    if (fread(extra, 1, xlen, f) != xlen) {
+      corrupt = eof_in = true;
+      return false;
+    }
+    long bsize = -1;
+    for (size_t i = 0; i + 4 <= xlen;) {
+      unsigned slen = extra[i + 2] | ((unsigned)extra[i + 3] << 8);
+      if (extra[i] == 'B' && extra[i + 1] == 'C' && slen == 2 &&
+          i + 6 <= xlen) {
+        bsize = extra[i + 4] | ((long)extra[i + 5] << 8);
+        break;
+      }
+      i += 4 + slen;
+    }
+    long comp_len = bsize + 1 - 12 - (long)xlen - 8;
+    if (bsize < 0 || comp_len < 0) {
+      corrupt = eof_in = true;
+      return false;
+    }
+    s.comp.resize((size_t)comp_len);
+    uint8_t tr[8];
+    if (fread(s.comp.data(), 1, (size_t)comp_len, f) !=
+            (size_t)comp_len ||
+        fread(tr, 1, 8, f) != 8) {
+      corrupt = eof_in = true;
+      return false;
+    }
+    s.comp_len = (size_t)comp_len;
+    s.crc = tr[0] | ((uint32_t)tr[1] << 8) | ((uint32_t)tr[2] << 16) |
+            ((uint32_t)tr[3] << 24);
+    s.isize = tr[4] | ((uint32_t)tr[5] << 8) | ((uint32_t)tr[6] << 16) |
+              ((uint32_t)tr[7] << 24);
+    if (s.isize > (1u << 16)) { corrupt = eof_in = true; return false; }
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      s.state = 1;
+      work.push_back(prod);
+    }
+    prod++;
+    cv_work.notify_one();
+    return true;
+  }
+
+  void worker() {
+    z_stream z{};
+    inflateInit2(&z, -15);
+    std::unique_lock<std::mutex> lk(mu);
+    for (;;) {
+      cv_work.wait(lk, [&] { return shutdown_ || !work.empty(); });
+      if (work.empty()) break;   // shutdown
+      uint64_t seq = work.front();
+      work.pop_front();
+      Slot& s = ring[seq % ring.size()];
+      lk.unlock();
+      s.out.resize(s.isize);
+      inflateReset(&z);
+      z.next_in = s.comp.data();
+      z.avail_in = (uInt)s.comp_len;
+      z.next_out = s.out.data();
+      z.avail_out = (uInt)s.isize;
+      int r = inflate(&z, Z_FINISH);
+      s.out_len = s.isize;
+      s.bad = !(r == Z_STREAM_END && z.avail_out == 0 &&
+                crc32(crc32(0, nullptr, 0), s.out.data(),
+                      (uInt)s.isize) == s.crc);
+      lk.lock();
+      s.state = 2;
+      cv_done.notify_all();
+    }
+    lk.unlock();
+    inflateEnd(&z);
+  }
+
+  // gzread-alike: blocks until `cap` bytes or EOF/corruption.
+  int read(void* dst, unsigned cap) {
+    uint8_t* d = (uint8_t*)dst;
+    unsigned got = 0;
+    while (got < cap && !corrupt) {
+      while (!eof_in && prod - cons < ring.size())
+        if (!produce_one()) break;
+      if (cons == prod) break;   // true EOF
+      Slot& s = ring[cons % ring.size()];
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_done.wait(lk, [&] { return s.state == 2; });
+      }
+      if (s.bad) { corrupt = true; break; }
+      size_t k = s.out_len - cons_off;
+      if (k > cap - got) k = cap - got;
+      memcpy(d + got, s.out.data() + cons_off, k);
+      got += (unsigned)k;
+      cons_off += k;
+      if (cons_off == s.out_len) {   // slot drained (incl. 0-byte EOF
+        s.state = 0;                 // marker blocks): recycle
+        cons_off = 0;
+        cons++;
+      }
+    }
+    return (int)got;
+  }
+};
+
+// Open path for BGZF-MT reading if it is a regular file whose first
+// gzip member carries the BGZF 'BC' subfield; nullptr otherwise.
+BgzfMT* bgzf_open(const char* path, int nthreads) {
+  struct stat st;
+  if (nthreads < 1 || stat(path, &st) != 0 || !S_ISREG(st.st_mode))
+    return nullptr;
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  uint8_t hdr[12];
+  bool use = false;
+  if (fread(hdr, 1, 12, f) == 12 && hdr[0] == 0x1f && hdr[1] == 0x8b &&
+      hdr[2] == 8 && (hdr[3] & 4)) {
+    unsigned xlen = hdr[10] | ((unsigned)hdr[11] << 8);
+    std::vector<uint8_t> extra(xlen);
+    if (fread(extra.data(), 1, xlen, f) == xlen)
+      for (size_t i = 0; i + 4 <= xlen;) {
+        unsigned slen = extra[i + 2] | ((unsigned)extra[i + 3] << 8);
+        if (extra[i] == 'B' && extra[i + 1] == 'C' && slen == 2) {
+          use = true;
+          break;
+        }
+        i += 4 + slen;
+      }
+  }
+  if (use && fseek(f, 0, SEEK_SET) == 0) return new BgzfMT(f, nthreads);
+  fclose(f);
+  return nullptr;
+}
+
 struct Reader {
   // Buffered reader over zlib (transparent for plain files).  gzgets
   // scans per character and gzread-per-field costs a zlib call per 4
   // bytes; block reads + memchr run the SAM hot loop ~3x faster.
-  gzFile gz;
+  // BGZF inputs (BAM, bgzip'd SAM) bypass zlib for the multithreaded
+  // block pipeline above.
+  gzFile gz = nullptr;
+  std::unique_ptr<BgzfMT> bgzf;
   std::vector<char> buf;
   size_t head = 0, tail = 0;
   bool ateof = false;
   explicit Reader(const char* path) : buf(1 << 20) {
-    gz = gzopen(path, "rb");
-    if (gz) gzbuffer(gz, 1 << 17);
+    bgzf.reset(bgzf_open(path, bgzf_threads()));
+    if (!bgzf) {
+      gz = gzopen(path, "rb");
+      if (gz) gzbuffer(gz, 1 << 17);
+    }
   }
   ~Reader() { if (gz) gzclose(gz); }
+  bool valid() const { return gz || bgzf; }
 
   bool fill() {
     if (ateof) return false;
@@ -874,11 +1082,21 @@ struct Reader {
       head = 0;
     }
     if (tail == buf.size()) buf.resize(buf.size() * 2);
-    int n = gzread(gz, buf.data() + tail,
-                   (unsigned)(buf.size() - tail));
+    int n = bgzf ? bgzf->read(buf.data() + tail,
+                              (unsigned)(buf.size() - tail))
+                 : gzread(gz, buf.data() + tail,
+                          (unsigned)(buf.size() - tail));
     if (n <= 0) { ateof = true; return false; }
     tail += (size_t)n;
     return true;
+  }
+
+  // copy up to n leading bytes without consuming them
+  size_t peek(void* dst, size_t n) {
+    while (tail - head < n && fill()) {}
+    size_t k = tail - head < n ? tail - head : n;
+    memcpy(dst, buf.data() + head, k);
+    return k;
   }
 
   // next line, NUL-terminated in place ('\n' stripped); nullptr at
