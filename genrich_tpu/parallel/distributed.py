@@ -48,8 +48,14 @@ def local_tile_range(n_tiles: int) -> range:
     """
     import jax
 
-    per = n_tiles // jax.process_count()
+    n_proc = jax.process_count()
     pid = jax.process_index()
+    if n_tiles % n_proc:
+        raise ValueError(
+            f"n_tiles={n_tiles} must be a multiple of the process "
+            f"count {n_proc}; pad the tile grid (empty tiles are "
+            f"cheap) before sharding")
+    per = n_tiles // n_proc
     return range(pid * per, (pid + 1) * per)
 
 

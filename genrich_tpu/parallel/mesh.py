@@ -282,41 +282,73 @@ def merge_tile_peaks(result: TileResult, tile_len: int,
 
 def split_events_to_tiles(start: np.ndarray, end: np.ndarray,
                           count: np.ndarray, n_tiles: int,
-                          tile_len: int, pad_to: Optional[int] = None):
+                          tile_len: int, pad_to: Optional[int] = None,
+                          on_overflow: str = "grow"):
     """Host-side: global events -> per-tile padded tile-local arrays.
 
-    A fragment spanning tile boundaries contributes its start point to
-    the tile containing it and its end point to that tile — the carry
-    mechanism propagates the coverage between them.  Each point is
-    emitted as a degenerate (p, p) pair plus the real one clipped?  No:
-    points are independent in the diff-array model, so we simply route
-    the add-point and sub-point to their own tiles as separate
-    "events" whose other endpoint is clamped to the tile edge.
+    A fragment spanning tile boundaries is cut at every boundary into
+    per-tile pieces ((s, tile_len) in the first tile, full (0,
+    tile_len) covers in any middle tiles, (0, e) in the last), so each
+    tile's event list is self-contained and balanced: every add+sub
+    row pair is canon-neutral, so the inter-tile class-total carries
+    reduce to canonical zero under this convention.  Fully
+    vectorized (one repeat + one stable sort); no per-event Python.
+
+    ``pad_to`` sets the minimum per-tile width E (shape stability for
+    jit reuse).  If some tile holds more events than ``pad_to``:
+    ``on_overflow="grow"`` widens E to fit (single-host default);
+    ``"error"`` raises ValueError (multi-host callers, where E must
+    agree across processes).  Events are never silently dropped.
+
+    Returns (out_s, out_e, out_c) int32 [n_tiles, E]; padding rows are
+    (tile_len, tile_len, 0).
     """
     start = np.asarray(start, np.int64)
     end = np.asarray(end, np.int64)
     count = np.asarray(count, np.int32)
+    if len(start) == 0:
+        e_max = pad_to or 1
+        return (np.full((n_tiles, e_max), tile_len, np.int32),
+                np.full((n_tiles, e_max), tile_len, np.int32),
+                np.zeros((n_tiles, e_max), np.int32))
+    if np.any(start >= end):
+        raise ValueError("empty or inverted event (start >= end)")
     ts = start // tile_len
-    te = end // tile_len
+    te = np.minimum((end - 1) // tile_len, n_tiles - 1)  # inclusive
+    if np.any(ts >= n_tiles) or np.any(ts < 0):
+        raise ValueError("event start outside the tile grid")
+    pieces = (te - ts + 1).astype(np.int64)
 
-    tiles_s = [[] for _ in range(n_tiles)]
-    for i in range(len(start)):
-        a, b = ts[i], min(te[i], n_tiles - 1)
-        if a == b:
-            tiles_s[a].append((start[i] - a * tile_len,
-                               end[i] - a * tile_len, count[i]))
-        else:
-            tiles_s[a].append((start[i] - a * tile_len, tile_len,
-                               count[i]))
-            tiles_s[b].append((0, end[i] - b * tile_len, count[i]))
+    # piece k of event i lives in tile ts[i]+k; build the flat piece
+    # list with repeat + a concatenated-arange for k
+    off = np.cumsum(pieces) - pieces
+    total = int(pieces.sum())
+    k = np.arange(total, dtype=np.int64) - np.repeat(off, pieces)
+    tile = np.repeat(ts, pieces) + k
+    base = tile * tile_len
+    s_loc = np.maximum(np.repeat(start, pieces) - base, 0)
+    e_loc = np.minimum(np.repeat(end, pieces) - base, tile_len)
+    c_rep = np.repeat(count, pieces)
 
-    e_max = pad_to or max(1, max(len(t) for t in tiles_s))
+    # bucket pieces by tile (stable: preserves input event order)
+    order = np.argsort(tile, kind="stable")
+    tile_s = tile[order]
+    per_tile = np.bincount(tile_s, minlength=n_tiles).astype(np.int64)
+    slot = np.arange(total, dtype=np.int64) \
+        - np.repeat(np.cumsum(per_tile) - per_tile,
+                    per_tile)[: total]
+    need = int(per_tile.max()) if total else 1
+    e_max = max(pad_to or 1, 1)
+    if need > e_max:
+        if pad_to is not None and on_overflow == "error":
+            raise ValueError(
+                f"tile event overflow: a tile holds {need} events "
+                f"but pad_to={pad_to} (shape-locked caller)")
+        e_max = need
     out_s = np.full((n_tiles, e_max), tile_len, np.int32)
     out_e = np.full((n_tiles, e_max), tile_len, np.int32)
     out_c = np.zeros((n_tiles, e_max), np.int32)
-    for t, evs in enumerate(tiles_s):
-        for j, (s, e, c) in enumerate(evs[:e_max]):
-            out_s[t, j] = s
-            out_e[t, j] = e
-            out_c[t, j] = c
+    out_s[tile_s, slot] = s_loc[order]
+    out_e[tile_s, slot] = e_loc[order]
+    out_c[tile_s, slot] = c_rep[order]
     return out_s, out_e, out_c
