@@ -139,6 +139,28 @@ def distinct_pvals(starts, ends, pv, live):
     return pv_d, w_d, d
 
 
+def distinct_pvals_k(starts, ends, pv, live, k: int):
+    """distinct_pvals with a static-width [k] result (shard exchange).
+
+    Flattened shard inputs in, fixed-shape (p, bp, count) out so the
+    table can ride a fixed-size ``all_gather`` across shards.  The
+    caller must check count <= k on the host (distinct coverage values
+    are fraction-quantized, so thousands suffice; overflow means
+    re-running with a wider k, never silent loss).  The result is
+    exactly [k] wide — padded with (+inf, 0) when the shard has fewer
+    than k interval rows — so fixed-stride shard exchanges line up.
+    """
+    pv_d, w_d, d = distinct_pvals(starts, ends, pv, live)
+    n = pv_d.shape[0]
+    if n >= k:
+        return pv_d[:k], w_d[:k], d
+    pad = k - n
+    pv_d = jnp.concatenate([pv_d, jnp.full((pad,), jnp.inf,
+                                           pv_d.dtype)])
+    w_d = jnp.concatenate([w_d, jnp.zeros((pad,), w_d.dtype)])
+    return pv_d, w_d, d
+
+
 def assign_qvals(pv, table_p, table_q):
     """Per-interval q from the (ascending p -> q) lookup table.
 

@@ -103,14 +103,21 @@ def _excluded(starts, excl):
 
 
 def tile_coverage(es, ee, ec, cs, ce, cc, excl, tile_len, carry_e,
-                  carry_c):
+                  carry_c, limit=None):
     """Events -> per-interval expt/ctrl coverage for one tile.
 
     Expt and ctrl events merge into one 8-channel point list and a
     single sort.  Returns (starts, ends, expt_val, ctrl_raw, excluded,
     live, frag_len, ctrl_frag); ctrl_raw is the *unscaled* control
     coverage (scaling needs the global factor, applied in tile_stats).
+
+    ``limit`` (default tile_len) clips the tile's analyzed span: when
+    a chromosome ends inside this tile of the grid, intervals past the
+    chromosome end must not exist (they would otherwise contribute
+    phantom bp to the BH histogram and the -f/-k logs).
     """
+    if limit is None:
+        limit = tile_len
     e_pos, e_del = build_event_points(es, ee, ec)
     c_pos, c_del = build_event_points(cs, ce, cc)
     zeros_e = jnp.zeros_like(e_del)
@@ -136,9 +143,10 @@ def tile_coverage(es, ee, ec, cs, ce, cc, excl, tile_len, carry_e,
     starts = pos
     ends = jnp.concatenate([pos[1:],
                             jnp.full((1,), tile_len, pos.dtype)])
+    ends = jnp.minimum(ends, limit)
     excluded = _excluded(starts, excl)
-    live = starts < tile_len
-    lens = (ends - starts).astype(jnp.float32)
+    live = starts < limit
+    lens = jnp.maximum(ends - starts, 0).astype(jnp.float32)
     frag_len = jnp.sum(jnp.where(excluded, 0.0, lens * expt_val))
     ctrl_frag = jnp.sum(jnp.where(excluded, 0.0, lens * ctrl_raw))
     return (starts, ends, expt_val, ctrl_raw, excluded, live,
@@ -170,37 +178,6 @@ def analyze_tile_ctrl(es, ee, ec, cs, ce, cc, excl, tile_len,
                        min_pq, min_auc, min_len, max_gap)
     return TileResult(peaks, frag_len, jnp.sum(live.astype(jnp.int32))
                       ), ctrl_frag, pval, starts, ends, live
-
-
-def qvalues_binned(pval, lens, live, genome_len,
-                   n_bins: int = 1 << 16,
-                   max_logp: float = 512.0):
-    """Approximate BH q-values via a fixed histogram (fast path).
-
-    Quantizes -log10 p into n_bins buckets; the per-bucket bp histogram
-    is a fixed-width array, so the cross-tile/host reduction is a
-    single psum.  Returns (bin edges' q-values, per-interval q).
-    Exact distinct-value BH lives in engine/qvalue.py.
-    """
-    scale = n_bins / max_logp
-    bins = jnp.clip((pval * scale).astype(jnp.int32), 0, n_bins - 1)
-    w = jnp.where(live & (pval >= 0), lens.astype(jnp.float32), 0.0)
-    hist = jax.ops.segment_sum(w, bins, num_segments=n_bins)
-    return hist, bins
-
-
-def qvalues_from_hist(hist, genome_len, n_bins: int = 1 << 16,
-                      max_logp: float = 512.0):
-    """Per-bin q-values from the (globally summed) histogram."""
-    # k[b] = 1 + bp at strictly higher p than bin b
-    above = jnp.cumsum(hist[::-1])[::-1]
-    k = 1.0 + above - hist
-    p_bin = (jnp.arange(n_bins, dtype=jnp.float32) + 0.5) \
-        * (max_logp / n_bins)
-    raw = p_bin - jnp.log10(jnp.float32(genome_len)) \
-        + jnp.log10(jnp.maximum(k, 1.0))
-    q = jax.lax.cummin(raw[::-1])[::-1]
-    return jnp.maximum(q, 0.0)
 
 
 def random_events(key, n_events: int, tile_len: int,

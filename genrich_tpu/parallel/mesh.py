@@ -30,8 +30,8 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.pipeline_jax import (TileResult, analyze_tile_core,
-                                qvalues_from_hist, tile_class_totals,
-                                tile_coverage, tile_stats)
+                                tile_class_totals, tile_coverage,
+                                tile_stats)
 
 AXIS = "tiles"
 
@@ -119,63 +119,166 @@ def _excl_carry_prefix(totals, t):
     return jax.lax.dynamic_slice_in_dim(excl, my * t, t)
 
 
-def _local_step_full(es, ee, ec, cs, ce, cc, excl, tile_len,
-                     genome_len, min_pq, min_auc, min_len, max_gap,
-                     qval_opt, n_bins, max_logp):
-    """Full-feature shard body: ctrl scaling, exclusions, q-values.
+class ShardedKernels:
+    """Jitted shard_map steps over a tile mesh (one instance per
+    (mesh, tile_len); jit caches reuse across chromosomes/replicates).
 
-    Collectives: psum for the expt/ctrl fragment-length reductions
-    (-> lambda and the control scale factor), all_gather for the
-    inter-tile pileup carries, and psum of the fixed-width p-value
-    histogram for the genome-wide BH q-value sweep.
+    Three-step structure with host scalars in between:
+
+      cov:    events -> resident sharded interval arrays; per-tile
+              fragment-length sums ride an ``all_gather`` so every
+              process can run the float64 host accumulation -> lambda
+              and the control scale factor (calcFactor,
+              Genrich.c:1980-2046).
+      stats:  elementwise -log10 p per interval, plus the per-shard
+              distinct (p, bp) tables ``all_gather``-ed for the EXACT
+              genome-wide BH: the q sweep runs on the host with the
+              same float32 ops (incl. the glibc log10f quirk) as
+              engine/qvalue.py, identically on every process.
+      peaks:  q assignment via the replicated (p -> q) table + the
+              vectorized per-tile peak caller.
+
+    Interval arrays never leave the devices between steps; only the
+    fragment scalars and the (small, fraction-quantized) distinct
+    table cross to the host.
     """
-    from ..ops.peaks_jax import call_peaks
 
-    t = es.shape[0]
-    cov = jax.vmap(
-        lambda a, b, c, d, e, f, x, ke, kc: tile_coverage(
-            a, b, c, d, e, f, x, tile_len, ke, kc)
-    )(es, ee, ec, cs, ce, cc, excl,
-      _excl_carry_prefix(jax.vmap(tile_class_totals)(es, ee, ec), t),
-      _excl_carry_prefix(jax.vmap(tile_class_totals)(cs, ce, cc), t))
-    (starts, ends, expt_val, ctrl_raw, excluded, live, frag_len,
-     ctrl_frag) = cov
+    def __init__(self, mesh: Mesh, tile_len: int,
+                 k_distinct: int = 1 << 13):
+        self.mesh = mesh
+        self.tile_len = int(tile_len)
+        self.k = int(k_distinct)
+        self._peaks_cache = {}
 
-    total_frag = jax.lax.psum(jnp.sum(frag_len), AXIS)
-    total_ctrl = jax.lax.psum(jnp.sum(ctrl_frag), AXIS)
-    lam = total_frag / genome_len
-    factor = jnp.where(total_ctrl > 0, total_frag
-                       / jnp.maximum(total_ctrl, 1e-30), 1.0)
+        from ..ops.compact_jax import distinct_pvals_k
 
-    pval = jax.vmap(lambda e, c, x: tile_stats(e, c, x, factor, lam)
-                    )(expt_val, ctrl_raw, excluded)
+        n_dev = int(np.prod(mesh.devices.shape))
 
-    lens = (ends - starts).astype(jnp.float32)
-    if qval_opt:
-        # genome-wide BH via a psum'd fixed-width histogram
-        # (MXU one-hot matmuls instead of a scatter)
-        from ..ops.histogram import histogram_weighted
-        scale = n_bins / max_logp
-        bins = jnp.clip((pval * scale).astype(jnp.int32), 0,
-                        n_bins - 1)
-        w = jnp.where(live & (pval >= 0), lens, 0.0)
-        hist = histogram_weighted(bins, w, n_bins)
-        hist = jax.lax.psum(hist, AXIS)
-        qtab = qvalues_from_hist(hist, genome_len, n_bins, max_logp)
-        stat = jnp.where(pval == -1.0, jnp.float32(-1.0), qtab[bins])
-        qv = stat
-    else:
-        stat = pval
-        qv = jnp.full_like(pval, -1.0)
+        def replicated_concat(x):
+            """Shard-local [t, ...] -> replicated [D*t, ...].
 
-    res = jax.vmap(
-        lambda s, e, st, pv, q, lv: call_peaks(
-            s, e, st, pv, q, lv, min_pq, min_auc, min_len, max_gap)
-    )(starts, ends, stat, pval, qv, live)
-    return (res.start, res.end, res.auc, res.summit_pval,
-            res.summit_qval, res.summit_pos, res.valid, res.cand,
-            res.summit_stat, res.summit_len, res.skip_head,
-            res.skip_tail, res.n_peaks, frag_len, lam, factor)
+            A masked psum (each shard adds its rows into its slice of
+            a zero array) — bitwise exact (x + 0 == x) and, unlike
+            all_gather, statically inferable as replicated by
+            shard_map's vma check.
+            """
+            my = jax.lax.axis_index(AXIS)
+            t = x.shape[0]
+            out = jnp.zeros((n_dev * t,) + x.shape[1:], x.dtype)
+            out = jax.lax.dynamic_update_slice_in_dim(out, x, my * t, 0)
+            return jax.lax.psum(out, AXIS)
+
+        def cov_step(es, ee, ec, cs, ce, cc, excl, limit):
+            t = es.shape[0]
+            carry_e = _excl_carry_prefix(
+                jax.vmap(tile_class_totals)(es, ee, ec), t)
+            carry_c = _excl_carry_prefix(
+                jax.vmap(tile_class_totals)(cs, ce, cc), t)
+            cov = jax.vmap(
+                lambda a, b, c, d2, e, f, x, ke, kc, lm: tile_coverage(
+                    a, b, c, d2, e, f, x, jnp.int32(self.tile_len),
+                    ke, kc, lm)
+            )(es, ee, ec, cs, ce, cc, excl, carry_e, carry_c, limit)
+            (starts, ends, ev, cr, excluded, live, frag, cfrag) = cov
+            frag_all = replicated_concat(frag)
+            cfrag_all = replicated_concat(cfrag)
+            return (starts, ends, ev, cr, excluded, live, frag_all,
+                    cfrag_all)
+
+        self.cov = jax.jit(jax.shard_map(
+            cov_step, mesh=mesh, in_specs=tuple([P(AXIS)] * 8),
+            out_specs=tuple([P(AXIS)] * 6) + (P(), P())))
+
+        def stats_step(starts, ends, ev, cr, excluded, live, lam,
+                       factor):
+            pval = jax.vmap(
+                lambda e, c, x: tile_stats(e, c, x, factor, lam)
+            )(ev, cr, excluded)
+            pv_k, w_k, dct = distinct_pvals_k(
+                starts.reshape(-1), ends.reshape(-1),
+                pval.reshape(-1), live.reshape(-1), self.k)
+            pv_all = replicated_concat(pv_k)
+            w_all = replicated_concat(w_k)
+            d_all = replicated_concat(dct.reshape(1))
+            return pval, pv_all, w_all, d_all
+
+        self.stats = jax.jit(jax.shard_map(
+            stats_step, mesh=mesh,
+            in_specs=tuple([P(AXIS)] * 6) + (P(), P()),
+            out_specs=(P(AXIS), P(), P(), P())))
+
+    def peaks(self, use_q: bool, min_len: int, max_gap: int):
+        key = (use_q, min_len, max_gap)
+        fn = self._peaks_cache.get(key)
+        if fn is not None:
+            return fn
+        from ..ops.compact_jax import assign_qvals
+        from ..ops.peaks_jax import call_peaks
+
+        def peaks_step(starts, ends, pval, live, tab_p, tab_q,
+                       min_pq, min_auc):
+            if use_q:
+                stat = jax.vmap(
+                    lambda v: assign_qvals(v, tab_p, tab_q))(pval)
+                qv = stat
+            else:
+                stat = pval
+                qv = jnp.full_like(pval, -1.0)
+            return jax.vmap(
+                lambda s, e, st, pv, q, lv: call_peaks(
+                    s, e, st, pv, q, lv, min_pq, min_auc, min_len,
+                    max_gap))(starts, ends, stat, pval, qv, live)
+
+        fn = jax.jit(jax.shard_map(
+            peaks_step, mesh=self.mesh,
+            in_specs=tuple([P(AXIS)] * 4) + tuple([P()] * 4),
+            out_specs=P(AXIS)))
+        self._peaks_cache[key] = fn
+        return fn
+
+
+def exact_q_table(pv_gathered, w_gathered, d_gathered, k: int,
+                  genome_len: int):
+    """Host-side exact BH from the gathered per-shard distinct tables.
+
+    Merges shards' (p, bp) pairs (np.unique + summed uint64 lengths)
+    and runs the exact float32 q sweep (engine/qvalue.py, mirroring
+    computeQval Genrich.c:352-401).  Deterministic and identical on
+    every process.  Returns (tab_p, tab_q, total_bp, all_one) with
+    tab_p padded to a power of two with +inf.  Raises if any shard's
+    distinct count exceeded k (rerun with a wider k — never silent).
+    """
+    from ..engine import qvalue
+
+    pv_g = np.asarray(pv_gathered)
+    w_g = np.asarray(w_gathered)
+    d_g = np.asarray(d_gathered).reshape(-1)
+    if (d_g > k).any():
+        raise ValueError(
+            f"distinct p-value overflow: a shard saw {int(d_g.max())}"
+            f" > k_distinct={k}; rebuild ShardedKernels with a wider"
+            f" k_distinct")
+    ps, ws = [], []
+    for i, d in enumerate(d_g):
+        d = int(d)
+        if d:
+            ps.append(pv_g[i * k:i * k + d])
+            ws.append(w_g[i * k:i * k + d].astype(np.uint64))
+    if not ps:
+        return (np.full(1, np.inf, np.float32),
+                np.zeros(1, np.float32), 0, False)
+    p_all = np.concatenate(ps)
+    w_all = np.concatenate(ws)
+    uv, inv = np.unique(p_all, return_inverse=True)
+    ul = np.zeros(len(uv), np.uint64)
+    np.add.at(ul, inv, w_all)
+    qv = qvalue.qvalues(uv.astype(np.float32), ul, genome_len)
+    size = 1 << max(8, int(np.ceil(np.log2(len(uv)))))
+    tab_p = np.full(size, np.inf, np.float32)
+    tab_q = np.zeros(size, np.float32)
+    tab_p[:len(uv)] = uv
+    tab_q[:len(uv)] = qv
+    return tab_p, tab_q, int(ul.sum()), qvalue.all_qvalues_one(qv)
 
 
 def sharded_analyze_full(mesh: Mesh, es, ee, ec, cs, ce, cc, excl,
@@ -183,29 +286,41 @@ def sharded_analyze_full(mesh: Mesh, es, ee, ec, cs, ce, cc, excl,
                          min_pq: float, min_auc: float,
                          min_len: int = 0, max_gap: int = 100,
                          qval_opt: bool = False,
-                         n_bins: int = 1 << 16,
-                         max_logp: float = 512.0):
-    """Full pipeline sharded over tiles: ctrl + exclusions + BH.
+                         k_distinct: int = 1 << 13,
+                         limit=None):
+    """Full pipeline sharded over tiles: ctrl + exclusions + exact BH.
 
     All inputs [T, ...] shard over the tile axis; ``excl`` is
-    [T, K, 2] per-tile exclusion intervals padded with tile_len.
+    [T, K, 2] per-tile exclusion intervals padded with tile_len;
+    ``limit`` [T] clips each tile's analyzed span (chromosome ends).
     Returns (TileResult, lambda, factor).
     """
-    from ..ops.peaks_jax import TilePeaks
-    fn = jax.shard_map(
-        partial(_local_step_full, tile_len=jnp.int32(tile_len),
-                genome_len=jnp.float32(genome_len),
-                min_pq=jnp.float32(min_pq),
-                min_auc=jnp.float32(min_auc), min_len=min_len,
-                max_gap=max_gap, qval_opt=qval_opt, n_bins=n_bins,
-                max_logp=max_logp),
-        mesh=mesh,
-        in_specs=tuple([P(AXIS)] * 7),
-        out_specs=tuple([P(AXIS)] * 14) + (P(), P()),
-    )
-    out = jax.jit(fn)(es, ee, ec, cs, ce, cc, excl)
-    peaks = TilePeaks(*out[:13])
-    return TileResult(peaks, out[13], None), out[14], out[15]
+    kern = ShardedKernels(mesh, tile_len, k_distinct)
+    n_tiles = es.shape[0]
+    if limit is None:
+        limit = np.full(n_tiles, tile_len, np.int32)
+    (starts, ends, ev, cr, excluded, live, frag_all,
+     cfrag_all) = kern.cov(es, ee, ec, cs, ce, cc, excl,
+                           jnp.asarray(limit, jnp.int32))
+    frag = float(np.asarray(frag_all, np.float64).sum())
+    cfrag = float(np.asarray(cfrag_all, np.float64).sum())
+    lam = np.float32(frag / genome_len)
+    factor = np.float32(1.0) if cfrag == 0.0 \
+        else np.float32(frag / cfrag)
+    pval, pv_all, w_all, d_all = kern.stats(
+        starts, ends, ev, cr, excluded, live, jnp.float32(lam),
+        jnp.float32(factor))
+    if qval_opt:
+        tab_p, tab_q, _, _ = exact_q_table(pv_all, w_all, d_all,
+                                           kern.k, genome_len)
+    else:
+        tab_p = np.full(1, np.inf, np.float32)
+        tab_q = np.zeros(1, np.float32)
+    peaks = kern.peaks(qval_opt, min_len, max_gap)(
+        starts, ends, pval, live, jnp.asarray(tab_p),
+        jnp.asarray(tab_q), jnp.float32(min_pq),
+        jnp.float32(min_auc))
+    return TileResult(peaks, frag_all, None), lam, factor
 
 
 def merge_tile_peaks(result: TileResult, tile_len: int,

@@ -1,4 +1,4 @@
-"""Full-feature device path (ctrl + exclusions + binned q) vs engine."""
+"""Full-feature device path (ctrl + exclusions + exact q) vs engine."""
 
 from __future__ import annotations
 
@@ -9,9 +9,8 @@ import jax
 import jax.numpy as jnp
 
 from genrich_tpu.engine import pileup as ep, pvalue as epv
-from genrich_tpu.ops.pipeline_jax import (analyze_tile_ctrl,
-                                          qvalues_binned,
-                                          qvalues_from_hist)
+from genrich_tpu.ops.compact_jax import distinct_pvals_k
+from genrich_tpu.ops.pipeline_jax import analyze_tile_ctrl
 
 
 def _events(rng, n, length):
@@ -21,7 +20,16 @@ def _events(rng, n, length):
     return start, end, count
 
 
+def _expand_rle(ends, vals, length):
+    """RLE (ends, vals) -> dense per-base float32 [length]."""
+    lens = np.diff(np.concatenate([[0], np.asarray(ends, np.int64)]))
+    out = np.repeat(np.asarray(vals, np.float32), lens)
+    assert len(out) == length
+    return out
+
+
 def test_ctrl_tile_matches_engine():
+    """Per-BASE comparison over the whole tile, FLT_MAX rows included."""
     rng = np.random.RandomState(0)
     length = 200_000
     es, ee, ec = _events(rng, 2000, length)
@@ -47,51 +55,71 @@ def test_ctrl_tile_matches_engine():
                           cc.astype(np.int64), length, bed, factor,
                           lam)
     pv_ref = epv.pval_pileup(e_pu, c_pu)
+    dense_ref = _expand_rle(pv_ref.end, pv_ref.cov, length)
 
-    # device p-values at engine interval midpoints must agree closely
     starts_np = np.asarray(starts)
     ends_np = np.asarray(ends)
     pv_np = np.asarray(pval)
-    ref_starts = np.concatenate([[0], pv_ref.end[:-1]])
-    sel = np.random.RandomState(1).choice(len(pv_ref.end), 200,
-                                          replace=False)
-    for j in sel:
-        mid = (ref_starts[j] + pv_ref.end[j]) // 2
-        k = np.searchsorted(starts_np, mid, side="right") - 1
-        if k < 0 or starts_np[k] >= ends_np[k]:
-            continue
-        a, b = pv_np[k], pv_ref.cov[j]
-        if b == np.float32(-1.0):
-            assert a == np.float32(-1.0), (mid, a, b)
-        elif b < 1e30:
-            assert abs(a - b) <= 2e-3 * max(1.0, abs(b)), (mid, a, b)
+    keep = np.asarray(live) & (ends_np > starts_np)
+    order = np.argsort(starts_np[keep], kind="stable")
+    dense_dev = np.repeat(pv_np[keep][order],
+                          (ends_np[keep] - starts_np[keep])[order])
+    assert len(dense_dev) == length
+
+    skip_ref = dense_ref == np.float32(-1.0)
+    np.testing.assert_array_equal(dense_dev == np.float32(-1.0),
+                                  skip_ref)
+    big_ref = dense_ref >= np.float32(1e30)
+    assert (dense_dev[big_ref] >= np.float32(1e30)).all()
+    fin = ~skip_ref & ~big_ref
+    np.testing.assert_allclose(dense_dev[fin], dense_ref[fin],
+                               rtol=2e-3, atol=2e-4)
 
     # weighted fragment length matches engine's
     frag_ref = float(np.sum(terms.astype(np.float64)))
     assert abs(float(res.frag_len) - frag_ref) / max(frag_ref, 1) < 1e-5
 
 
-def test_binned_qvalues_close_to_exact():
+def test_distinct_k_plus_exact_sweep_matches_engine():
+    """Device distinct (p, bp) -> host exact BH == engine q-values,
+    byte-for-byte (the sharded path's q computation)."""
+    from genrich_tpu.engine.pileup import Pileup
+    from genrich_tpu.engine.qvalue import collect_pvals, qvalues
+    from genrich_tpu.parallel.mesh import exact_q_table
+
     rng = np.random.RandomState(2)
     n = 5000
-    pv = np.abs(rng.standard_normal(n)).astype(np.float32) * 3
-    lens = rng.randint(1, 500, n).astype(np.int32)
-    genome = int(lens.sum())
+    # quantized p pool (the real pipeline's p-values are quantized by
+    # the fraction classes) + FLT_MAX and SKIP rows
+    pool = np.abs(rng.standard_normal(200)).astype(np.float32) * 3
+    pv = pool[rng.randint(0, 200, n)]
+    pv[rng.rand(n) < 0.01] = np.float32(3.4028235e38)
+    pv[rng.rand(n) < 0.05] = np.float32(-1.0)   # SKIP
+    lens = rng.randint(1, 500, n).astype(np.int64)
+    ends = np.cumsum(lens)
+    starts = np.concatenate([[0], ends[:-1]])
+    genome = int(lens[pv != np.float32(-1.0)].sum())
 
-    hist, bins = qvalues_binned(jnp.asarray(pv), jnp.asarray(lens),
-                                jnp.ones(n, bool), genome)
-    qb = qvalues_from_hist(hist, genome)
-    q_dev = np.asarray(qb)[np.asarray(bins)]
+    k = 1 << 10
+    pv_k, w_k, d = distinct_pvals_k(
+        jnp.asarray(starts, jnp.int32), jnp.asarray(ends, jnp.int32),
+        jnp.asarray(pv), jnp.ones(n, bool), k)
+    tab_p, tab_q, total_bp, _ = exact_q_table(
+        np.asarray(pv_k), np.asarray(w_k),
+        np.asarray(d).reshape(1), k, genome)
+    assert total_bp == genome
 
-    from genrich_tpu.engine.pileup import Pileup
-    ends = np.cumsum(lens.astype(np.int64))
-    exact_pd, exact_pl = __import__(
-        "genrich_tpu.engine.qvalue", fromlist=["collect_pvals"]
-    ).collect_pvals([Pileup(ends, pv)])
-    from genrich_tpu.engine.qvalue import qvalues
-    q_exact_tab = qvalues(exact_pd, exact_pl, genome)
-    idx = np.searchsorted(exact_pd, pv)
-    q_exact = q_exact_tab[idx]
+    exact_pd, exact_pl = collect_pvals([Pileup(ends, pv)])
+    q_exact = qvalues(exact_pd, exact_pl, genome)
+    nd = int(np.asarray(d))
+    assert nd == len(exact_pd)
+    np.testing.assert_array_equal(tab_p[:nd], exact_pd)
+    np.testing.assert_array_equal(tab_q[:nd], q_exact)
 
-    ok = np.abs(q_dev - q_exact) <= 0.02 + 0.02 * np.abs(q_exact)
-    assert ok.mean() > 0.99, (1 - ok.mean())
+
+def test_distinct_k_overflow_raises():
+    from genrich_tpu.parallel.mesh import exact_q_table
+    import pytest
+    with pytest.raises(ValueError, match="overflow"):
+        exact_q_table(np.zeros(8, np.float32), np.zeros(8, np.int32),
+                      np.array([9]), 8, 1000)
