@@ -1,0 +1,367 @@
+"""Multi-device sharded engine for the CLI (--engine sharded).
+
+Same duck-typed interface as :class:`engine.jax_bridge.JaxEngine`, but
+every numeric stage runs as a ``shard_map`` over a 1-D tile mesh of
+all available devices: each chromosome is cut into D tiles (D = mesh
+size, tile length a power of two), events are routed to tiles by the
+vectorized host splitter, and the device steps (ShardedKernels in
+parallel/mesh.py) exchange only scalars and the distinct (p, bp)
+tables between shards.  Peaks straddling tile boundaries merge on the
+host (merge_tile_peaks).
+
+Reference semantics per stage (float32, same tolerances as
+--engine jax; see PARITY.md):
+  coverage/pileup   savePileupExpt/Ctrl   Genrich.c:2052-2295
+  p-values          savePval/calcPval     Genrich.c:1628-1794
+  Fisher            combinePval           Genrich.c:612-667
+  q-values          computeQval           Genrich.c:146-401 (exact
+                    distinct-value BH, host float32 sweep)
+  peak calling      callPeaks             Genrich.c:977-1069
+
+On one device this degenerates gracefully (D tiles on one chip); on a
+pod the tile axis spans ICI.  Tests exercise it on a virtual 8-device
+CPU mesh (tests/test_engine_sharded_cli.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..utils.cfloat import SKIP
+from ..utils.xla_cache import enable_compile_cache
+from .pileup import Pileup
+
+F32 = np.float32
+PEAK_CAP = 4096            # per-tile candidate rows (call_peaks k)
+
+
+def _pow2(n: int, lo: int = 1) -> int:
+    size = lo
+    while size < n:
+        size <<= 1
+    return size
+
+
+class ShardedEngine:
+    """Per-run sharded device context (lazy jax import)."""
+
+    def __init__(self, n_devices: Optional[int] = None,
+                 min_tile_len: int = 1 << 16):
+        enable_compile_cache()
+        import jax
+        from ..parallel import mesh as pmesh
+
+        self.jax = jax
+        self.pmesh = pmesh
+        self.mesh = pmesh.make_mesh(n_devices)
+        self.D = int(np.prod(self.mesh.devices.shape))
+        self.min_tile_len = min_tile_len
+        self._kernels: Dict[int, "pmesh.ShardedKernels"] = {}
+        self._chrom: Dict[int, dict] = {}
+        self._reps: List[Dict[int, tuple]] = []
+        self._qtable = None
+        self._qtable_host = (np.zeros(0, F32), np.zeros(0, F32))
+
+    # --- grid construction ----------------------------------------------
+
+    def _grid(self, chrom_len: int) -> Tuple[int, np.ndarray]:
+        """(tile_len, per-tile limits) for a chromosome: D tiles of a
+        power-of-two length (bounded set of jit shapes)."""
+        tl = _pow2(-(-chrom_len // self.D), lo=self.min_tile_len)
+        limit = np.clip(chrom_len - np.arange(self.D) * tl, 0, tl)
+        return tl, limit.astype(np.int32)
+
+    def _kern(self, tile_len: int):
+        k = self._kernels.get(tile_len)
+        if k is None:
+            k = self.pmesh.ShardedKernels(self.mesh, tile_len)
+            self._kernels[tile_len] = k
+        return k
+
+    def _split(self, ev, tile_len: int):
+        """Events -> [D, E] tile-local arrays, E a power of two."""
+        if ev is None or len(ev[0]) == 0:
+            e = np.full((self.D, 1), tile_len, np.int32)
+            return e, e.copy(), np.zeros((self.D, 1), np.int32)
+        s, e, c = self.pmesh.split_events_to_tiles(
+            ev[0], ev[1], ev[2], self.D, tile_len)
+        width = _pow2(s.shape[1])
+        if width > s.shape[1]:
+            pad = width - s.shape[1]
+            s = np.pad(s, ((0, 0), (0, pad)), constant_values=tile_len)
+            e = np.pad(e, ((0, 0), (0, pad)), constant_values=tile_len)
+            c = np.pad(c, ((0, 0), (0, pad)))
+        return s, e, c
+
+    def _split_excl(self, bed: List[int], tile_len: int) -> np.ndarray:
+        """-E pairs -> [D, K, 2] tile-local clipped pairs (K pow2),
+        padded with (tile_len, tile_len)."""
+        per_tile: List[List[Tuple[int, int]]] = [[] for _ in
+                                                 range(self.D)]
+        for i in range(0, len(bed), 2):
+            a, b = bed[i], bed[i + 1]
+            t0 = a // tile_len
+            t1 = min((b - 1) // tile_len, self.D - 1) if b > a else t0
+            for t in range(t0, min(t1, self.D - 1) + 1):
+                lo = max(a - t * tile_len, 0)
+                hi = min(b - t * tile_len, tile_len)
+                if hi > lo:
+                    per_tile[t].append((lo, hi))
+        k = _pow2(max(1, max(len(x) for x in per_tile)))
+        out = np.full((self.D, k, 2), tile_len, np.int32)
+        for t, pairs in enumerate(per_tile):
+            for j, (lo, hi) in enumerate(pairs):
+                out[t, j] = (lo, hi)
+        return out
+
+    # --- stage 1: coverage (resident) ------------------------------------
+
+    def coverage_chrom(self, cidx: int, expt_ev, ctrl_ev,
+                       bed: List[int], chrom_len: int
+                       ) -> Tuple[float, float]:
+        import jax.numpy as jnp
+        tile_len, limit = self._grid(chrom_len)
+        kern = self._kern(tile_len)
+        es, ee, ec = self._split(expt_ev, tile_len)
+        cs, ce, cc = self._split(ctrl_ev, tile_len)
+        # event widths must match across expt/ctrl for one sort shape
+        w = max(es.shape[1], cs.shape[1])
+        if es.shape[1] < w:
+            pad = w - es.shape[1]
+            es = np.pad(es, ((0, 0), (0, pad)),
+                        constant_values=tile_len)
+            ee = np.pad(ee, ((0, 0), (0, pad)),
+                        constant_values=tile_len)
+            ec = np.pad(ec, ((0, 0), (0, pad)))
+        if cs.shape[1] < w:
+            pad = w - cs.shape[1]
+            cs = np.pad(cs, ((0, 0), (0, pad)),
+                        constant_values=tile_len)
+            ce = np.pad(ce, ((0, 0), (0, pad)),
+                        constant_values=tile_len)
+            cc = np.pad(cc, ((0, 0), (0, pad)))
+        excl = self._split_excl(bed, tile_len)
+        out = kern.cov(jnp.asarray(es), jnp.asarray(ee),
+                       jnp.asarray(ec), jnp.asarray(cs),
+                       jnp.asarray(ce), jnp.asarray(cc),
+                       jnp.asarray(excl), jnp.asarray(limit))
+        (starts, ends, ev, cr, excluded, live, frag_all,
+         cfrag_all) = out
+        self._chrom[cidx] = {
+            "starts": starts, "ends": ends, "ev": ev, "cr": cr,
+            "excluded": excluded, "live": live, "len": chrom_len,
+            "tile_len": tile_len, "limit": limit,
+        }
+        frag = float(np.asarray(frag_all, np.float64).sum())
+        cfrag = float(np.asarray(cfrag_all, np.float64).sum())
+        return frag, cfrag
+
+    # --- stage 2: p-values (resident) -------------------------------------
+
+    def stats_all(self, lam: float, factor: float) -> None:
+        import jax.numpy as jnp
+        self._lam = F32(lam)
+        self._factor = F32(factor)
+        for st in self._chrom.values():
+            kern = self._kern(st["tile_len"])
+            st["pv"] = kern.stats(st["ev"], st["cr"], st["excluded"],
+                                  jnp.float32(lam),
+                                  jnp.float32(factor))
+
+    # --- multi-replicate: archive + sharded Fisher ------------------------
+
+    def archive_replicate(self) -> None:
+        """Per-tile p-value RLE compaction; coverage arrays released."""
+        import jax.numpy as jnp
+        rep: Dict[int, tuple] = {}
+        for cidx, st in self._chrom.items():
+            kern = self._kern(st["tile_len"])
+            e_b, pv_b, b = kern.rle_pv(
+                st["starts"], st["ends"], st["pv"], st["live"],
+                jnp.asarray(st["limit"]))
+            rep[cidx] = (e_b, pv_b, st["len"], st["tile_len"],
+                         st["limit"])
+        self._reps.append(rep)
+        self._chrom.clear()
+
+    def finalize_fisher(self) -> None:
+        """combinePval across replicates, per tile on the mesh."""
+        chroms = sorted({c for rep in self._reps for c in rep})
+        for cidx in chroms:
+            present = [rep[cidx] for rep in self._reps if cidx in rep]
+            r = len(present)
+            kern = self._kern(present[0][3])
+            fn = kern.fisher(r)
+            args = tuple(p[0] for p in present) \
+                + tuple(p[1] for p in present)
+            starts, ends, comb, live = fn(*args)
+            self._chrom[cidx] = {
+                "starts": starts, "ends": ends, "pv": comb,
+                "live": live, "len": present[0][2],
+                "tile_len": present[0][3], "limit": present[0][4],
+            }
+        self._reps.clear()
+
+    # --- host-RLE paths (-f/-k logs, host Fisher, -X, fallbacks) ----------
+
+    def pval_pileup(self, cidx: int) -> Pileup:
+        import jax.numpy as jnp
+        st = self._chrom[cidx]
+        kern = self._kern(st["tile_len"])
+        e_b, pv_b, b = kern.rle_pv(st["starts"], st["ends"], st["pv"],
+                                   st["live"],
+                                   jnp.asarray(st["limit"]))
+        ends, (pv,) = self._stitch(e_b, (pv_b,), b, st)
+        if len(ends) == 0:
+            return Pileup(np.array([st["len"]], np.int64),
+                          np.zeros(1, F32))
+        return Pileup(ends, pv)
+
+    def pvalue_pileups(self, cidx: int
+                       ) -> Tuple[Pileup, Pileup, Pileup]:
+        import jax.numpy as jnp
+        st = self._chrom[cidx]
+        kern = self._kern(st["tile_len"])
+        e_b, pv_b, ev_b, cv_b, b = kern.rle(
+            st["starts"], st["ends"], st["pv"], st["ev"], st["cr"],
+            st["excluded"], st["live"], jnp.float32(self._lam),
+            jnp.float32(self._factor))
+        ends, (pv, ev, cv) = self._stitch(e_b, (pv_b, ev_b, cv_b), b,
+                                          st)
+        if len(ends) == 0:
+            chrom_len = st["len"]
+            pu = Pileup(np.array([chrom_len], np.int64),
+                        np.zeros(1, F32))
+            return (Pileup(pu.end, np.zeros(1, F32)),
+                    Pileup(pu.end, np.full(1, F32(self._lam))), pu)
+        return Pileup(ends, ev), Pileup(ends, cv), Pileup(ends, pv)
+
+    def _stitch(self, e_b, vals, b, st):
+        """Per-tile RLE arrays -> one chromosome RLE (host).
+
+        Offsets tile-local ends to chromosome coordinates and merges
+        the artificial run break at each tile boundary when the
+        run-defining p-value is equal on both sides (keeping the later
+        run's companion values, i.e. the run's final boundary row).
+        """
+        tile_len = st["tile_len"]
+        b_np = np.asarray(b)
+        e_np = np.asarray(e_b)
+        v_np = [np.asarray(v) for v in vals]
+        ends_parts, val_parts = [], [[] for _ in v_np]
+        for t in range(self.D):
+            n = int(b_np[t])
+            if n == 0:
+                continue
+            ends_parts.append(e_np[t, :n].astype(np.int64)
+                              + t * tile_len)
+            for j, v in enumerate(v_np):
+                val_parts[j].append(v[t, :n])
+        if not ends_parts:
+            return np.zeros(0, np.int64), tuple(
+                np.zeros(0, F32) for _ in v_np)
+        ends = np.concatenate(ends_parts)
+        vs = [np.concatenate(p) for p in val_parts]
+        # merge runs across tile boundaries: drop row i when the next
+        # row has the same p-value (vs[0] is the run key)
+        same = np.concatenate([vs[0][1:] == vs[0][:-1],
+                               np.zeros(1, bool)])
+        boundary = (ends % tile_len) == 0
+        drop = same & boundary & (ends < st["len"])
+        keep = ~drop
+        return ends[keep], tuple(v[keep] for v in vs)
+
+    # --- stage 3: q-values -------------------------------------------------
+
+    def qvalue_table(self, genome_len: int) -> bool:
+        """Exact genome-wide BH from sharded distinct (p, bp) tables."""
+        from . import qvalue
+        import jax.numpy as jnp
+        ps, ws = [], []
+        for st in self._chrom.values():
+            kern = self._kern(st["tile_len"])
+            while True:
+                pv_all, w_all, d_all = kern.distinct(
+                    st["starts"], st["ends"], st["pv"], st["live"])
+                d_np = np.asarray(d_all).reshape(-1)
+                if (d_np <= kern.k).all():
+                    break
+                # widen k and retry (loud, never silent truncation)
+                kern = self.pmesh.ShardedKernels(
+                    self.mesh, st["tile_len"],
+                    k_distinct=_pow2(int(d_np.max())))
+                self._kernels[st["tile_len"]] = kern
+            pv_g = np.asarray(pv_all)
+            w_g = np.asarray(w_all)
+            for i, d in enumerate(d_np):
+                d = int(d)
+                if d:
+                    ps.append(pv_g[i * kern.k:i * kern.k + d])
+                    ws.append(w_g[i * kern.k:i * kern.k + d]
+                              .astype(np.uint64))
+        if not ps:
+            self._qtable = (jnp.zeros(1, jnp.float32),
+                            jnp.zeros(1, jnp.float32))
+            self._qtable_host = (np.zeros(0, F32), np.zeros(0, F32))
+            return False
+        p_all = np.concatenate(ps)
+        w_all = np.concatenate(ws)
+        uv, inv = np.unique(p_all, return_inverse=True)
+        ul = np.zeros(len(uv), np.uint64)
+        np.add.at(ul, inv, w_all)
+        qv = qvalue.qvalues(uv.astype(F32), ul, genome_len)
+        size = _pow2(len(uv), lo=1 << 8)
+        tab_p = np.full(size, np.inf, F32)
+        tab_q = np.zeros(size, F32)
+        tab_p[:len(uv)] = uv
+        tab_q[:len(uv)] = qv
+        self._qtable = (jnp.asarray(tab_p), jnp.asarray(tab_q))
+        self._qtable_host = (uv.astype(F32), qv)
+        return qvalue.all_qvalues_one(qv)
+
+    # --- stage 4: peaks ------------------------------------------------------
+
+    def peaks_chrom(self, cidx: int, min_pq: float, min_auc: float,
+                    min_len: int, max_gap: int, use_q: bool):
+        """Sharded peak calling + host boundary merge for one chrom.
+
+        Returns (start, end, auc, summit_pval, summit_qval,
+        summit_pos) arrays or None when a tile exceeded the candidate
+        cap (caller falls back to the host peak caller)."""
+        import jax.numpy as jnp
+        from ..ops.pipeline_jax import TileResult
+        st = self._chrom[cidx]
+        kern = self._kern(st["tile_len"])
+        if max_gap >= st["tile_len"]:
+            return None    # boundary merge assumes gap < tile
+        if use_q:
+            tab_p, tab_q = self._qtable
+        else:
+            tab_p = tab_q = jnp.zeros(1, jnp.float32)
+        res = kern.peaks(use_q, min_len, max_gap)(
+            st["starts"], st["ends"], st["pv"], st["live"], tab_p,
+            tab_q, jnp.float32(min_pq), jnp.float32(min_auc))
+        cap = min(PEAK_CAP, st["starts"].shape[1])
+        if int(np.asarray(res.n_peaks).max()) > cap:
+            return None
+        merged = self.pmesh.merge_tile_peaks(
+            TileResult(res, None, None), st["tile_len"], min_auc,
+            min_len, max_gap)
+        if not merged:
+            z64 = np.zeros(0, np.int64)
+            zf = np.zeros(0, F32)
+            return (z64, z64, zf, zf, zf, z64)
+        starts = np.array([m[0] for m in merged], np.int64)
+        ends = np.array([m[1] for m in merged], np.int64)
+        aucs = np.array([m[2] for m in merged], F32)
+        spv = np.array([m[3] for m in merged], F32)
+        sqv = np.array([m[4] for m in merged], F32)
+        spos = np.array([m[5] for m in merged], np.int64)
+        return starts, ends, aucs, spv, sqv, spos
+
+    def release(self) -> None:
+        self._chrom.clear()
+        self._reps.clear()
+        self._qtable = None

@@ -100,7 +100,7 @@ def _pd_upper_series(x, alph):
 
     t0 = x / alph
     _, _, total, _ = jax.lax.while_loop(
-        cond, body, (alph, t0, t0, jnp.ones(x.shape, bool)))
+        cond, body, (alph, t0, t0, x == x))
     return jnp.log(total)
 
 
@@ -143,9 +143,11 @@ def _pgamma_smallx(x, alph):
         active = active & (jnp.abs(term) > eps * jnp.abs(total))
         return n, c, total, active
 
+    # initial mask derived from x so its device-varying type matches
+    # the loop-carried mask under shard_map (vma typing)
     _, _, total, _ = jax.lax.while_loop(
         cond, body, (jnp.zeros_like(x), alph + 0.0,
-                     jnp.zeros_like(x), jnp.ones(x.shape, bool)))
+                     jnp.zeros_like(x), x == x))
     lf2 = alph * jnp.log(x) - jax.lax.lgamma(alph + 1)
     return _log1_exp(jnp.log1p(total) + lf2)
 

@@ -149,6 +149,7 @@ class ShardedKernels:
         self.tile_len = int(tile_len)
         self.k = int(k_distinct)
         self._peaks_cache = {}
+        self._fisher_cache = {}
 
         from ..ops.compact_jax import distinct_pvals_k
 
@@ -189,23 +190,50 @@ class ShardedKernels:
             cov_step, mesh=mesh, in_specs=tuple([P(AXIS)] * 8),
             out_specs=tuple([P(AXIS)] * 6) + (P(), P())))
 
-        def stats_step(starts, ends, ev, cr, excluded, live, lam,
-                       factor):
-            pval = jax.vmap(
+        def stats_step(ev, cr, excluded, lam, factor):
+            return jax.vmap(
                 lambda e, c, x: tile_stats(e, c, x, factor, lam)
             )(ev, cr, excluded)
+
+        self.stats = jax.jit(jax.shard_map(
+            stats_step, mesh=mesh,
+            in_specs=tuple([P(AXIS)] * 3) + (P(), P()),
+            out_specs=P(AXIS)))
+
+        def distinct_step(starts, ends, pval, live):
             pv_k, w_k, dct = distinct_pvals_k(
                 starts.reshape(-1), ends.reshape(-1),
                 pval.reshape(-1), live.reshape(-1), self.k)
             pv_all = replicated_concat(pv_k)
             w_all = replicated_concat(w_k)
             d_all = replicated_concat(dct.reshape(1))
-            return pval, pv_all, w_all, d_all
+            return pv_all, w_all, d_all
 
-        self.stats = jax.jit(jax.shard_map(
-            stats_step, mesh=mesh,
-            in_specs=tuple([P(AXIS)] * 6) + (P(), P()),
-            out_specs=(P(AXIS), P(), P(), P())))
+        self.distinct = jax.jit(jax.shard_map(
+            distinct_step, mesh=mesh,
+            in_specs=tuple([P(AXIS)] * 4),
+            out_specs=(P(), P(), P())))
+
+        from ..ops.compact_jax import rle_pv, rle_runs
+
+        def rle_step(starts, ends, pv, ev, cr, excluded, live, lam,
+                     factor):
+            return jax.vmap(
+                lambda s, e, p, a, b, x, l: rle_runs(
+                    s, e, p, a, b, x, l, lam, factor)
+            )(starts, ends, pv, ev, cr, excluded, live)
+
+        self.rle = jax.jit(jax.shard_map(
+            rle_step, mesh=mesh,
+            in_specs=tuple([P(AXIS)] * 7) + (P(), P()),
+            out_specs=P(AXIS)))
+
+        def rle_pv_step(starts, ends, pv, live, limit):
+            return jax.vmap(rle_pv)(starts, ends, pv, live, limit)
+
+        self.rle_pv = jax.jit(jax.shard_map(
+            rle_pv_step, mesh=mesh, in_specs=tuple([P(AXIS)] * 5),
+            out_specs=P(AXIS)))
 
     def peaks(self, use_q: bool, min_len: int, max_gap: int):
         key = (use_q, min_len, max_gap)
@@ -234,6 +262,27 @@ class ShardedKernels:
             in_specs=tuple([P(AXIS)] * 4) + tuple([P()] * 4),
             out_specs=P(AXIS)))
         self._peaks_cache[key] = fn
+        return fn
+
+    def fisher(self, r: int):
+        """combinePval (Genrich.c:612-667) per tile across r replicate
+        RLEs: args are r end arrays then r p-value arrays, [T, M_i]
+        each, padded with (tile limit, SKIP) rows."""
+        fn = self._fisher_cache.get(r)
+        if fn is not None:
+            return fn
+        from ..ops.compact_jax import merge_fisher
+
+        def fisher_step(*arrs):
+            def per_tile(*xs):
+                return merge_fisher(tuple(xs[:r]), tuple(xs[r:]))
+            return jax.vmap(per_tile)(*arrs)
+
+        fn = jax.jit(jax.shard_map(
+            fisher_step, mesh=self.mesh,
+            in_specs=tuple([P(AXIS)] * (2 * r)),
+            out_specs=P(AXIS)))
+        self._fisher_cache[r] = fn
         return fn
 
 
@@ -307,10 +356,10 @@ def sharded_analyze_full(mesh: Mesh, es, ee, ec, cs, ce, cc, excl,
     lam = np.float32(frag / genome_len)
     factor = np.float32(1.0) if cfrag == 0.0 \
         else np.float32(frag / cfrag)
-    pval, pv_all, w_all, d_all = kern.stats(
-        starts, ends, ev, cr, excluded, live, jnp.float32(lam),
-        jnp.float32(factor))
+    pval = kern.stats(ev, cr, excluded, jnp.float32(lam),
+                      jnp.float32(factor))
     if qval_opt:
+        pv_all, w_all, d_all = kern.distinct(starts, ends, pval, live)
         tab_p, tab_q, _, _ = exact_q_table(pv_all, w_all, d_all,
                                            kern.k, genome_len)
     else:

@@ -82,7 +82,7 @@ class Params:
     sort_opt: bool = True               # cleared by -S
     genome_len: int = 0                 # -L
     verbose: bool = False               # -v
-    engine: str = "exact"               # extension: exact | jax engine
+    engine: str = "exact"        # extension: exact | jax | sharded
     ingest: str = "auto"                # extension: auto | native | python
 
     def validate(self) -> None:
@@ -158,9 +158,9 @@ def parse_args(argv: List[str]) -> Params:
             p.verbose = True
             i += 1
             continue
-        if arg == "--engine":  # extension flag: exact | jax
+        if arg == "--engine":  # extension flag: exact | jax | sharded
             p.engine = argv[i + 1]
-            if p.engine not in ("exact", "jax"):
+            if p.engine not in ("exact", "jax", "sharded"):
                 raise fatal(f"--engine {p.engine}", ERRPARAM)
             i += 2
             continue

@@ -740,6 +740,10 @@ def run(p: Params) -> None:
     if p.engine == "jax":
         from .engine.jax_bridge import JaxEngine
         jax_engine = JaxEngine()
+    elif p.engine == "sharded":
+        from .engine.sharded_bridge import ShardedEngine
+        jax_engine = ShardedEngine()
+    if jax_engine is not None:
         # with no interval logs, the analysis finishes on the device:
         # Fisher combination, q-values, and peak calling over
         # resident arrays

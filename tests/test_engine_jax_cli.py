@@ -1,30 +1,45 @@
-"""--engine jax CLI path: device pileup+p-values, host stats tail."""
+"""Device-engine CLI paths (--engine jax / sharded) vs the exact engine.
+
+The sharded variant runs every numeric stage as a shard_map over the
+virtual 8-device CPU mesh (tests/conftest.py): BAM/SAM in -> sharded
+tiles -> narrowPeak out, exercising the full product path of
+engine/sharded_bridge.py.
+"""
 
 from __future__ import annotations
 
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.dirname(__file__))
 import oracle  # noqa: E402
 
+ENGINES = ["jax", "sharded"]
 
-def _run(tmp_path, name, extra):
+
+def _env():
+    os.environ.update({"PALLAS_AXON_POOL_IPS": "",
+                       "JAX_PLATFORMS": "cpu"})
+
+
+def _run(tmp_path, name, extra, infile="in.sam"):
     d = tmp_path / name
     d.mkdir()
     r = oracle.run_ours(
-        ["-t", str(tmp_path / "in.sam"), "-o", "out.np", "-y",
+        ["-t", str(tmp_path / infile), "-o", "out.np", "-y",
          "-p", "0.01", "-a", "20"] + extra, cwd=str(d))
     assert r.returncode == 0, r.stderr[-1500:]
     return (d / "out.np").read_text().splitlines()
 
 
-def test_jax_engine_matches_exact_boundaries(tmp_path):
+@pytest.mark.parametrize("engine", ENGINES)
+def test_device_engine_matches_exact_boundaries(tmp_path, engine):
     oracle.random_sam(str(tmp_path / "in.sam"), seed=71)
-    env = {"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"}
-    os.environ.update(env)
+    _env()
     exact = _run(tmp_path, "exact", [])
-    fast = _run(tmp_path, "jax", ["--engine", "jax"])
+    fast = _run(tmp_path, engine, ["--engine", engine])
     assert len(exact) == len(fast)
     for a, b in zip(exact, fast):
         fa, fb = a.split("\t"), b.split("\t")
@@ -35,11 +50,25 @@ def test_jax_engine_matches_exact_boundaries(tmp_path):
             assert abs(x - y) <= 1e-4 * max(1.0, abs(x)), (a, b)
 
 
-def test_jax_engine_multi_replicate_fisher(tmp_path):
+@pytest.mark.parametrize("engine", ENGINES)
+def test_device_engine_bam_input(tmp_path, engine):
+    oracle.random_sam(str(tmp_path / "in.sam"), seed=77)
+    oracle.sam_to_bam(str(tmp_path / "in.sam"),
+                      str(tmp_path / "in.bam"))
+    _env()
+    exact = _run(tmp_path, "exact", [], infile="in.bam")
+    fast = _run(tmp_path, engine, ["--engine", engine],
+                infile="in.bam")
+    assert exact and len(exact) == len(fast)
+    for a, b in zip(exact, fast):
+        assert a.split("\t")[:6] == b.split("\t")[:6], (a, b)
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_device_engine_multi_replicate_fisher(tmp_path, engine):
     oracle.random_sam(str(tmp_path / "in.sam"), seed=81)
     oracle.random_sam(str(tmp_path / "b.sam"), seed=82, n_pairs=250)
-    os.environ.update({"PALLAS_AXON_POOL_IPS": "",
-                       "JAX_PLATFORMS": "cpu"})
+    _env()
     reps = f"{tmp_path / 'in.sam'},{tmp_path / 'b.sam'}"
 
     def run(name, extra):
@@ -51,7 +80,7 @@ def test_jax_engine_multi_replicate_fisher(tmp_path):
         return (d / "out.np").read_text().splitlines()
 
     exact = run("exact2", [])
-    fast = run("jax2", ["--engine", "jax"])
+    fast = run(f"{engine}2", ["--engine", engine])
     assert len(exact) == len(fast)
     same = sum(a.split("\t")[:6] == b.split("\t")[:6]
                for a, b in zip(exact, fast))
@@ -63,20 +92,56 @@ def test_jax_engine_multi_replicate_fisher(tmp_path):
             assert abs(x - y) <= 1e-3 * max(1.0, abs(x)), (a, b)
 
 
-def test_jax_engine_with_ctrl_and_exclusions(tmp_path):
+@pytest.mark.parametrize("engine", ENGINES)
+def test_device_engine_with_ctrl_and_exclusions(tmp_path, engine):
     oracle.random_sam(str(tmp_path / "in.sam"), seed=72)
     oracle.random_sam(str(tmp_path / "c.sam"), seed=73,
                       cluster=False, n_pairs=150)
     (tmp_path / "x.bed").write_text("chr1\t2000\t9000\n")
-    os.environ.update({"PALLAS_AXON_POOL_IPS": "",
-                       "JAX_PLATFORMS": "cpu"})
+    _env()
     extra = ["-c", str(tmp_path / "c.sam"), "-E",
              str(tmp_path / "x.bed"), "-q", "0.5"]
     exact = _run(tmp_path, "exact", extra)
-    fast = _run(tmp_path, "jax", extra + ["--engine", "jax"])
-    # q-mode boundaries can shift by float noise at the threshold;
-    # demand the same peak count and >90% identical coordinates
-    assert abs(len(exact) - len(fast)) <= max(1, len(exact) // 10)
+    fast = _run(tmp_path, engine, extra + ["--engine", engine])
+    # q-mode boundaries can shift only where a float32 statistic lands
+    # within noise of the threshold; compare threshold-aware below
+    assert abs(len(exact) - len(fast)) <= max(1, len(exact) // 20)
     same = sum(a.split("\t")[:3] == b.split("\t")[:3]
                for a, b in zip(exact, fast))
-    assert same >= min(len(exact), len(fast)) * 0.9
+    assert same >= min(len(exact), len(fast)) * 0.95
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_device_engine_logs(tmp_path, engine):
+    """-f/-k logs through the device RLE pullback path."""
+    oracle.random_sam(str(tmp_path / "in.sam"), seed=91)
+    _env()
+    exact = _run(tmp_path, "exact", ["-f", "f.log", "-k", "k.log"])
+    fast = _run(tmp_path, engine,
+                ["-f", "f.log", "-k", "k.log", "--engine", engine])
+    assert [a.split("\t")[:6] for a in exact] \
+        == [b.split("\t")[:6] for b in fast]
+
+    def rows(p):
+        return [ln.split("\t") for ln in
+                p.read_text().splitlines() if not ln.startswith("#")
+                and not ln.startswith("chr\t")]
+
+    fe = rows(tmp_path / "exact" / "f.log")
+    ff = rows(tmp_path / engine / "f.log")
+    # device logs coalesce intervals by p-value runs: every device row
+    # boundary must exist in the exact log with matching values
+    fe_map = {}
+    for r in fe:
+        fe_map[(r[0], r[2])] = r
+    missing = [r for r in ff if (r[0], r[2]) not in fe_map]
+    assert not missing, missing[:3]
+    for r in ff:
+        e = fe_map[(r[0], r[2])]
+        for col in (3, 4, 5):
+            x, y = float(e[col]), float(r[col])
+            assert abs(x - y) <= 1e-3 * max(1.0, abs(x)), (e, r)
+    # total covered bp agrees
+    def span(rs):
+        return sum(int(r[2]) - int(r[1]) for r in rs)
+    assert span(fe) == span(ff)
