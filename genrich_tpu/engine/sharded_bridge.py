@@ -96,25 +96,8 @@ class ShardedEngine:
         return s, e, c
 
     def _split_excl(self, bed: List[int], tile_len: int) -> np.ndarray:
-        """-E pairs -> [D, K, 2] tile-local clipped pairs (K pow2),
-        padded with (tile_len, tile_len)."""
-        per_tile: List[List[Tuple[int, int]]] = [[] for _ in
-                                                 range(self.D)]
-        for i in range(0, len(bed), 2):
-            a, b = bed[i], bed[i + 1]
-            t0 = a // tile_len
-            t1 = min((b - 1) // tile_len, self.D - 1) if b > a else t0
-            for t in range(t0, min(t1, self.D - 1) + 1):
-                lo = max(a - t * tile_len, 0)
-                hi = min(b - t * tile_len, tile_len)
-                if hi > lo:
-                    per_tile[t].append((lo, hi))
-        k = _pow2(max(1, max(len(x) for x in per_tile)))
-        out = np.full((self.D, k, 2), tile_len, np.int32)
-        for t, pairs in enumerate(per_tile):
-            for j, (lo, hi) in enumerate(pairs):
-                out[t, j] = (lo, hi)
-        return out
+        """-E pairs -> [D, K, 2] tile-local clipped pairs (K pow2)."""
+        return self.pmesh.split_excl_to_tiles(bed, self.D, tile_len)
 
     # --- stage 1: coverage (resident) ------------------------------------
 

@@ -169,6 +169,8 @@ class ShardedKernels:
             out = jax.lax.dynamic_update_slice_in_dim(out, x, my * t, 0)
             return jax.lax.psum(out, AXIS)
 
+        self._replicated_concat = replicated_concat
+
         def cov_step(es, ee, ec, cs, ce, cc, excl, limit):
             t = es.shape[0]
             carry_e = _excl_carry_prefix(
@@ -235,8 +237,13 @@ class ShardedKernels:
             rle_pv_step, mesh=mesh, in_specs=tuple([P(AXIS)] * 5),
             out_specs=P(AXIS)))
 
-    def peaks(self, use_q: bool, min_len: int, max_gap: int):
-        key = (use_q, min_len, max_gap)
+    def peaks(self, use_q: bool, min_len: int, max_gap: int,
+              replicated: bool = False):
+        """Peak-calling step.  With ``replicated`` the (small) per-tile
+        peak arrays ride a psum exchange so every process holds the
+        full set — required for the host boundary merge when tiles
+        span multiple processes (multi-host)."""
+        key = (use_q, min_len, max_gap, replicated)
         fn = self._peaks_cache.get(key)
         if fn is not None:
             return fn
@@ -252,15 +259,19 @@ class ShardedKernels:
             else:
                 stat = pval
                 qv = jnp.full_like(pval, -1.0)
-            return jax.vmap(
+            res = jax.vmap(
                 lambda s, e, st, pv, q, lv: call_peaks(
                     s, e, st, pv, q, lv, min_pq, min_auc, min_len,
                     max_gap))(starts, ends, stat, pval, qv, live)
+            if replicated:
+                res = jax.tree.map(self._replicated_concat, res)
+            return res
 
+        out_spec = P() if replicated else P(AXIS)
         fn = jax.jit(jax.shard_map(
             peaks_step, mesh=self.mesh,
             in_specs=tuple([P(AXIS)] * 4) + tuple([P()] * 4),
-            out_specs=P(AXIS)))
+            out_specs=out_spec))
         self._peaks_cache[key] = fn
         return fn
 
@@ -441,6 +452,30 @@ def merge_tile_peaks(result: TileResult, tile_len: int,
             pending["tile"] = t
             pending["skip_tail"] = bool(skip_tail[t])
     close(pending)
+    return out
+
+
+def split_excl_to_tiles(bed, n_tiles: int, tile_len: int) -> np.ndarray:
+    """-E pairs (flat [s0, e0, s1, e1, ...]) -> [n_tiles, K, 2]
+    tile-local clipped pairs, K a power of two, padded with
+    (tile_len, tile_len) rows (the convention _excluded expects)."""
+    per_tile: list = [[] for _ in range(n_tiles)]
+    for i in range(0, len(bed), 2):
+        a, b = bed[i], bed[i + 1]
+        t0 = a // tile_len
+        t1 = min((b - 1) // tile_len, n_tiles - 1) if b > a else t0
+        for t in range(t0, min(t1, n_tiles - 1) + 1):
+            lo = max(a - t * tile_len, 0)
+            hi = min(b - t * tile_len, tile_len)
+            if hi > lo:
+                per_tile[t].append((lo, hi))
+    k = 1
+    while k < max(1, max(len(x) for x in per_tile)):
+        k <<= 1
+    out = np.full((n_tiles, k, 2), tile_len, np.int32)
+    for t, pairs in enumerate(per_tile):
+        for j, (lo, hi) in enumerate(pairs):
+            out[t, j] = (lo, hi)
     return out
 
 
