@@ -12,10 +12,40 @@ from __future__ import annotations
 import gzip
 import io
 import sys
+import zlib
 
 from ..errors import ERRGZIP, ERRNAME, ERROPEN, ERROPENW, fatal
 
 GZEXT = ".gz"
+
+
+class _TolerantGz(io.RawIOBase):
+    """gzip stream that reads truncation/corruption as EOF.
+
+    zlib's gzread (the reference's input layer, Genrich.c:4983-5068)
+    returns a short read on a truncated or CRC-corrupt stream; the
+    record parsers then raise ERRBAM/ERRSAM.  Python's gzip module
+    raises instead, so translate those exceptions into EOF to keep
+    the error surface identical.
+    """
+
+    def __init__(self, gz):
+        self._gz = gz
+        self._dead = False
+
+    def readable(self) -> bool:
+        return True
+
+    def readinto(self, b) -> int:
+        if self._dead:
+            return 0
+        try:
+            data = self._gz.read(len(b))
+        except (EOFError, zlib.error, gzip.BadGzipFile):
+            self._dead = True
+            return 0
+        b[:len(data)] = data
+        return len(data)
 
 
 def open_read(path: str):
@@ -44,7 +74,8 @@ def open_read(path: str):
         raise fatal(path, ERROPEN)
     raw.seek(0)
     if head == b"\x1f\x8b":
-        return io.BufferedReader(gzip.GzipFile(fileobj=raw)), True
+        gz = _TolerantGz(gzip.GzipFile(fileobj=raw))
+        return io.BufferedReader(gz), True
     return raw, False
 
 

@@ -12,6 +12,7 @@ import os
 import random
 import struct
 import subprocess
+import zlib
 from typing import List, Optional, Tuple
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -144,8 +145,40 @@ def random_sam(path: str, chroms=(("chr1", 100000), ("chr2", 50000)),
     return b.write(path)
 
 
-def sam_to_bam(sam_path: str, bam_path: str) -> str:
-    """Convert our synthetic SAM into a BAM (plain gzip, zlib-readable)."""
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000")
+
+
+def bgzf_compress(data: bytes, block: int = 65280) -> bytes:
+    """BGZF-frame `data`: gzip members with the BC extra subfield and
+    the fixed 28-byte EOF block (SAM spec §4.1; perf_synth.BgzfWriter
+    is the streaming twin).  Real-world BAMs use this framing; the
+    reference reads it through zlib's member-concatenating gzFile
+    (Genrich.c:4983), our native ingest through the multithreaded
+    BGZF ring decompressor (native/ingest.cpp)."""
+    out = bytearray()
+    for off in range(0, len(data), block):
+        payload = data[off:off + block]
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        comp = co.compress(payload) + co.flush()
+        bsize = len(comp) + 25
+        out += struct.pack("<BBBBIBBHBBHH",
+                           0x1F, 0x8B, 8, 4, 0, 0, 0xFF, 6,
+                           ord("B"), ord("C"), 2, bsize)
+        out += comp
+        out += struct.pack("<II", zlib.crc32(payload), len(payload))
+    out += BGZF_EOF
+    return bytes(out)
+
+
+def sam_to_bam(sam_path: str, bam_path: str,
+               framing: str = "gzip") -> str:
+    """Convert our synthetic SAM into a BAM.
+
+    framing="gzip": one plain gzip member (zlib-readable).
+    framing="bgzf": real-world BGZF blocks (exercises the native
+    multithreaded decompressor).
+    """
     seq_code = {"=": 0, "A": 1, "C": 2, "M": 3, "G": 4, "R": 5, "S": 6,
                 "V": 7, "T": 8, "W": 9, "Y": 10, "H": 11, "K": 12,
                 "D": 13, "B": 14, "N": 15}
@@ -215,6 +248,10 @@ def sam_to_bam(sam_path: str, bam_path: str) -> str:
         body += bytes(packed) + qual_b + aux
         records_b = struct.pack("<i", len(body)) + body
         out += records_b
+    raw = bytes(out)
     with open(bam_path, "wb") as fh:
-        fh.write(gzip.compress(bytes(out)))
+        if framing == "bgzf":
+            fh.write(bgzf_compress(raw))
+        else:
+            fh.write(gzip.compress(raw))
     return bam_path

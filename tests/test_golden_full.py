@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import gzip
 import os
+import struct
 import sys
 
 import pytest
@@ -205,10 +206,15 @@ def test_gzip_output(tmp_path):
         ("out.narrowPeak.gz", "out.log.gz"), setup)
 
 
-def test_bam_input(tmp_path):
+@pytest.mark.parametrize("framing", ["gzip", "bgzf"])
+def test_bam_input(tmp_path, framing):
+    """BAM goldens in both framings; bgzf drives the native
+    multithreaded BGZF decompressor (native/ingest.cpp) under oracle
+    comparison."""
     def setup(d):
-        oracle.random_sam(str(d / "in.sam"), seed=31)
-        oracle.sam_to_bam(str(d / "in.sam"), str(d / "in.bam"))
+        oracle.random_sam(str(d / "in.sam"), seed=31, n_pairs=900)
+        oracle.sam_to_bam(str(d / "in.sam"), str(d / "in.bam"),
+                          framing=framing)
     r1, r2 = _run_both(
         tmp_path,
         ["-t", str(tmp_path / "in.bam")] + BASE
@@ -216,10 +222,12 @@ def test_bam_input(tmp_path):
     assert r1.stderr == r2.stderr
 
 
-def test_bam_matches_sam(tmp_path):
+@pytest.mark.parametrize("framing", ["gzip", "bgzf"])
+def test_bam_matches_sam(tmp_path, framing):
     def setup(d):
         oracle.random_sam(str(d / "in.sam"), seed=37)
-        oracle.sam_to_bam(str(d / "in.sam"), str(d / "in.bam"))
+        oracle.sam_to_bam(str(d / "in.sam"), str(d / "in.bam"),
+                          framing=framing)
     setup(tmp_path)
     d1 = tmp_path / "s"
     d2 = tmp_path / "b"
@@ -230,3 +238,42 @@ def test_bam_matches_sam(tmp_path):
     r2 = oracle.run_ours(["-t", str(tmp_path / "in.bam")] + a, str(d2))
     assert r1.returncode == r2.returncode == 0, r2.stderr[-1000:]
     assert (d1 / "o.np").read_bytes() == (d2 / "o.np").read_bytes()
+
+
+def _corrupt_case(tmp_path, mutate, case):
+    """Build a BGZF BAM, mutate its bytes, compare ref vs both
+    ingests (exit code + final stderr line; Genrich.c:4633-4646
+    ERRBAM on a short/failed read)."""
+    sam = tmp_path / "in.sam"
+    bam = tmp_path / f"{case}.bam"
+    oracle.random_sam(str(sam), seed=41, n_pairs=900)
+    oracle.sam_to_bam(str(sam), str(bam), framing="bgzf")
+    data = bytearray(bam.read_bytes())
+    bam.write_bytes(bytes(mutate(data)))
+    args = ["-t", str(bam), "-o", "out.np", "-y"]
+    r_ref = oracle.run_oracle(args, cwd=str(tmp_path))
+    assert r_ref.returncode == 1, (case, r_ref.stderr[-300:])
+    for backend in ("native", "python"):
+        r = oracle.run_ours(args + ["--ingest", backend],
+                            cwd=str(tmp_path))
+        assert r.returncode == r_ref.returncode, (
+            case, backend, r_ref.stderr[-200:], r.stderr[-800:])
+        assert r.stderr.splitlines()[-1] == \
+            r_ref.stderr.splitlines()[-1], (case, backend,
+                                            r.stderr[-500:])
+
+
+def test_bgzf_truncated_block(tmp_path):
+    # chop mid-block (drop EOF marker + half the last real block)
+    _corrupt_case(tmp_path, lambda d: d[:(len(d) - 28) * 3 // 4],
+                  "trunc")
+
+
+def test_bgzf_corrupt_crc(tmp_path):
+    def mutate(d):
+        # flip a byte in the deflate payload of the second block so
+        # its CRC check fails mid-stream
+        bsize = struct.unpack_from("<H", d, 16)[0] + 1
+        d[bsize + 40] ^= 0xFF
+        return d
+    _corrupt_case(tmp_path, mutate, "crc")
