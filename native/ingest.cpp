@@ -16,6 +16,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
+#include <chrono>
 #include <cstring>
 #include <condition_variable>
 #include <deque>
@@ -99,12 +100,33 @@ struct EventBuf {
   std::vector<int32_t> count;
 };
 
-struct ReadRec {                     // dedup store
-  std::string name;
-  uint16_t qual = 0;
-  float score = NOSCORE, score_r2 = NOSCORE;
-  bool first = false;
-  std::vector<Aln> alns, alns_r2;
+struct ReadStore {
+  // Flat dedup store: one Meta per buffered read (file order), all
+  // alignment records in one shared arena, names NUL-terminated in
+  // one byte arena.  Replaces a vector<struct{string,2x vector<Aln>}>
+  // whose per-read heap allocations dominated -r parse time.
+  struct Meta {
+    uint32_t aln_off = 0, aln2_off = 0;
+    uint16_t aln_cnt = 0, aln2_cnt = 0;
+    uint16_t qual = 0;
+    bool first = false;
+    float score = NOSCORE, score_r2 = NOSCORE;
+    uint32_t name_off = 0;
+  };
+  std::vector<Meta> meta;
+  std::vector<Aln> alns;
+  std::string names;
+  size_t size() const { return meta.size(); }
+  void clear() { meta.clear(); alns.clear(); names.clear(); }
+  const char* name(const Meta& m) const {
+    return names.data() + m.name_off;
+  }
+  uint32_t add_name(const std::string& q) {
+    uint32_t off = (uint32_t)names.size();
+    names.append(q);
+    names.push_back('\0');
+    return off;
+  }
 };
 
 struct XBedEntry { std::string name; uint32_t p0, p1; };
@@ -131,7 +153,7 @@ struct Context {
   struct Unpair { std::string q; Aln a; uint8_t n; };
   std::vector<Unpair> unpair;
   // dedup stores
-  std::vector<ReadRec> reads_pr, reads_dc, reads_sn;
+  ReadStore reads_pr, reads_dc, reads_sn;
   std::string err_msg;               // last error text for the C API
   int err_code = -1;
 };
@@ -302,44 +324,48 @@ uint32_t save_unpair(Context* c, const std::string& q, const Aln& a0,
 // ---- multimapper selection -----------------------------------------
 
 template <typename Valid>
-void subsample(Context* c, const std::vector<Aln>& alns, Valid valid,
-               uint8_t* count, float* score) {
+void subsample(Context* c, const Aln* alns, size_t n_alns,
+               Valid valid, uint8_t* count, float* score) {
   // insertion sort descending; stable for equal scores
   std::vector<float> arr;
   arr.reserve(*count);
-  for (const Aln& a : alns)
+  for (size_t k = 0; k < n_alns; k++) {
+    const Aln& a = alns[k];
     if (valid(a)) {
       auto it = arr.begin();
       while (it != arr.end() && !(a.score > *it)) ++it;
       arr.insert(it, a.score);
     }
+  }
   *count = *count > 10 ? 10 : (uint8_t)(*count - 1);
   *score = arr[*count - 1];
 }
 
-int process_pair(Context* c, const std::string& q,
-                 const std::vector<Aln>& alns, float score) {
+int process_pair(Context* c, const std::string& q, const Aln* alns,
+                 size_t n_alns, float score) {
   if (score != NOSCORE) score = score - c->opt.as_diff;
   auto valid = [&](const Aln& a) {
     return a.paired && a.full_ && a.score >= score
         && c->chroms[a.chrom].save && !c->chroms[a.chrom].skip;
   };
   uint8_t count = 0;
-  for (const Aln& a : alns) if (valid(a)) count++;
+  for (size_t k = 0; k < n_alns; k++) if (valid(alns[k])) count++;
   if (!count) return 0;
   if (count > 10 || count == 7 || count == 9)
-    subsample(c, alns, valid, &count, &score);
+    subsample(c, alns, n_alns, valid, &count, &score);
   auto valid2 = [&](const Aln& a) {
     return a.paired && a.full_ && a.score >= score
         && c->chroms[a.chrom].save && !c->chroms[a.chrom].skip;
   };
   uint64_t frag_len = 0;
   uint8_t saved = 0;
-  for (const Aln& a : alns)
+  for (size_t k = 0; k < n_alns; k++) {
+    const Aln& a = alns[k];
     if (valid2(a)) {
       frag_len += save_fragment(c, q, a, count);
       if (++saved == count) break;
     }
+  }
   if (saved != count)
     fail("Saved " + std::to_string(saved) + " alignments for read "
          + q + "; should have been " + std::to_string(count),
@@ -348,26 +374,26 @@ int process_pair(Context* c, const std::string& q,
   return 1;
 }
 
-int process_single(Context* c, const std::string& q,
-                   const std::vector<Aln>& alns, bool extend_opt,
-                   int32_t extend, bool avg_ext, float score,
-                   bool first) {
+int process_single(Context* c, const std::string& q, const Aln* alns,
+                   size_t n_alns, bool extend_opt, int32_t extend,
+                   bool avg_ext, float score, bool first) {
   if (score != NOSCORE) score = score - c->opt.as_diff;
   auto valid = [&](const Aln& a) {
     return !a.paired && a.first == first && a.score >= score
         && c->chroms[a.chrom].save && !c->chroms[a.chrom].skip;
   };
   uint8_t count = 0;
-  for (const Aln& a : alns) if (valid(a)) count++;
+  for (size_t k = 0; k < n_alns; k++) if (valid(alns[k])) count++;
   if (!count) return 0;
   if (count > 10 || count == 7 || count == 9)
-    subsample(c, alns, valid, &count, &score);
+    subsample(c, alns, n_alns, valid, &count, &score);
   auto valid2 = [&](const Aln& a) {
     return !a.paired && a.first == first && a.score >= score
         && c->chroms[a.chrom].save && !c->chroms[a.chrom].skip;
   };
   uint8_t saved = 0;
-  for (const Aln& a : alns)
+  for (size_t k = 0; k < n_alns; k++) {
+    const Aln& a = alns[k];
     if (valid2(a)) {
       if (avg_ext)
         c->unpair.push_back({q, a, count});
@@ -375,6 +401,7 @@ int process_single(Context* c, const std::string& q,
         save_unpair(c, q, a, count, extend_opt, extend);
       if (++saved == count) break;
     }
+  }
   if (saved != count)
     fail("Saved " + std::to_string(saved) + " alignments for read "
          + q + "; should have been " + std::to_string(count),
@@ -384,52 +411,65 @@ int process_single(Context* c, const std::string& q,
 
 // ---- dedup stores ---------------------------------------------------
 
-void copy_alns(Context* c, const std::vector<Aln>& alns, float score,
-               bool first, std::vector<Aln>* dest) {
+uint32_t copy_alns(Context* c, float score, bool first,
+                   std::vector<Aln>* arena) {
   if (score != NOSCORE) score = score - c->opt.as_diff;
-  for (const Aln& a : alns)
-    if (!a.paired && a.first == first && a.score >= score)
-      dest->push_back(a);
+  uint32_t n = 0;
+  for (const Aln& a : c->alns)
+    if (!a.paired && a.first == first && a.score >= score) {
+      arena->push_back(a);
+      n++;
+    }
+  return n;
 }
 
 void save_alns(Context* c, const std::string& q, bool pair,
                bool single_r1, bool single_r2, float score_pr,
                float score_r1, float score_r2) {
   if (pair) {
-    ReadRec r;
-    r.name = q;
-    r.qual = (uint16_t)std::min<uint32_t>(
+    ReadStore& st = c->reads_pr;
+    ReadStore::Meta m;
+    m.name_off = st.add_name(q);
+    m.qual = (uint16_t)std::min<uint32_t>(
         (uint32_t)c->qual_r1 + c->qual_r2, UINT16_MAX);
-    r.score = score_pr;
+    m.score = score_pr;
+    m.aln_off = (uint32_t)st.alns.size();
     float score = score_pr;
     if (score != NOSCORE) score = score - c->opt.as_diff;
     for (const Aln& a : c->alns)
       if (a.paired && a.full_ && a.score >= score) {
         Aln b = a;
         if (b.pos0 > b.pos1) std::swap(b.pos0, b.pos1);
-        r.alns.push_back(b);
+        st.alns.push_back(b);
+        m.aln_cnt++;
       }
-    c->reads_pr.push_back(std::move(r));
+    st.meta.push_back(m);
   } else if (c->opt.single_opt) {
     if (single_r1 && single_r2) {
-      ReadRec r;
-      r.name = q;
-      r.first = true;
-      r.score = score_r1;
-      r.score_r2 = score_r2;
-      r.qual = (uint16_t)std::min<uint32_t>(
+      ReadStore& st = c->reads_dc;
+      ReadStore::Meta m;
+      m.name_off = st.add_name(q);
+      m.first = true;
+      m.score = score_r1;
+      m.score_r2 = score_r2;
+      m.qual = (uint16_t)std::min<uint32_t>(
           (uint32_t)c->qual_r1 + c->qual_r2, UINT16_MAX);
-      copy_alns(c, c->alns, score_r1, true, &r.alns);
-      copy_alns(c, c->alns, score_r2, false, &r.alns_r2);
-      c->reads_dc.push_back(std::move(r));
+      m.aln_off = (uint32_t)st.alns.size();
+      m.aln_cnt = (uint16_t)copy_alns(c, score_r1, true, &st.alns);
+      m.aln2_off = (uint32_t)st.alns.size();
+      m.aln2_cnt = (uint16_t)copy_alns(c, score_r2, false, &st.alns);
+      st.meta.push_back(m);
     } else if (single_r1 || single_r2) {
-      ReadRec r;
-      r.name = q;
-      r.first = single_r1;
-      r.score = single_r1 ? score_r1 : score_r2;
-      r.qual = single_r1 ? c->qual_r1 : c->qual_r2;
-      copy_alns(c, c->alns, r.score, single_r1, &r.alns);
-      c->reads_sn.push_back(std::move(r));
+      ReadStore& st = c->reads_sn;
+      ReadStore::Meta m;
+      m.name_off = st.add_name(q);
+      m.first = single_r1;
+      m.score = single_r1 ? score_r1 : score_r2;
+      m.qual = single_r1 ? c->qual_r1 : c->qual_r2;
+      m.aln_off = (uint32_t)st.alns.size();
+      m.aln_cnt = (uint16_t)copy_alns(c, m.score, single_r1,
+                                      &st.alns);
+      st.meta.push_back(m);
     }
   }
 }
@@ -458,17 +498,19 @@ void process_alns(Context* c) {
     return;
   }
   if (pair) {
-    c->ctr.paired_pr += process_pair(c, c->read_name, c->alns,
-                                     score_pr);
+    c->ctr.paired_pr += process_pair(c, c->read_name, c->alns.data(),
+                                     c->alns.size(), score_pr);
   } else if (c->opt.single_opt) {
     if (s1)
       c->ctr.single_pr += process_single(
-          c, c->read_name, c->alns, c->opt.extend_opt, c->opt.extend,
-          c->opt.avg_ext_opt, score_r1, true);
+          c, c->read_name, c->alns.data(), c->alns.size(),
+          c->opt.extend_opt, c->opt.extend, c->opt.avg_ext_opt,
+          score_r1, true);
     if (s2)
       c->ctr.single_pr += process_single(
-          c, c->read_name, c->alns, c->opt.extend_opt, c->opt.extend,
-          c->opt.avg_ext_opt, score_r2, false);
+          c, c->read_name, c->alns.data(), c->alns.size(),
+          c->opt.extend_opt, c->opt.extend, c->opt.avg_ext_opt,
+          score_r2, false);
   }
 }
 
@@ -568,82 +610,129 @@ void flush_group(Context* c) {
 
 // ---- dedup evaluation (findDups) ------------------------------------
 
-struct KeyHash {
-  size_t operator()(const std::tuple<int, uint32_t, uint32_t>& k) const {
-    auto [a, b, cc] = k;
-    size_t h = (size_t)a * 1000003u ^ (size_t)b;
-    return h * 1000003u ^ (size_t)cc;
+// Open-addressing hash map: 128-bit key -> uint32 value, linear
+// probing, insert-if-absent (matching the reference's checkAndAdd
+// "first occurrence wins", Genrich.c:3457-3522).  ~5x faster than
+// node-based unordered_map with tuple keys on the -r hot path.
+struct OAMap {
+  std::vector<uint64_t> k0, k1;
+  std::vector<uint32_t> val;           // UINT32_MAX = empty
+  size_t mask = 0, used = 0;
+
+  static uint64_t mix(uint64_t a, uint64_t b) {
+    uint64_t x = a ^ (b * 0x9E3779B97F4A7C15ull);
+    x ^= x >> 30; x *= 0xBF58476D1CE4E5B9ull;
+    x ^= x >> 27; x *= 0x94D049BB133111EBull;
+    return x ^ (x >> 31);
   }
-};
-struct Key6Hash {
-  size_t operator()(const std::tuple<int, int, uint32_t, int, int,
-                                     uint32_t>& k) const {
-    auto [a, b, cc, d, e, f] = k;
-    size_t h = (size_t)a;
-    h = h * 1000003u ^ (size_t)b;
-    h = h * 1000003u ^ (size_t)cc;
-    h = h * 1000003u ^ (size_t)d;
-    h = h * 1000003u ^ (size_t)e;
-    h = h * 1000003u ^ (size_t)f;
-    return h;
+  void init(size_t expect) {
+    size_t cap = 64;
+    while (cap < 2 * expect + 16) cap <<= 1;
+    k0.assign(cap, 0); k1.assign(cap, 0);
+    val.assign(cap, UINT32_MAX);
+    mask = cap - 1; used = 0;
+  }
+  void grow() {
+    OAMap bigger;
+    bigger.init(val.size());           // doubles (init uses 2x)
+    for (size_t i = 0; i < val.size(); i++)
+      if (val[i] != UINT32_MAX) bigger.put(k0[i], k1[i], val[i]);
+    *this = std::move(bigger);
+  }
+  uint32_t find(uint64_t a, uint64_t b) const {
+    if (val.empty()) return UINT32_MAX;
+    size_t i = mix(a, b) & mask;
+    for (;;) {
+      if (val[i] == UINT32_MAX) return UINT32_MAX;
+      if (k0[i] == a && k1[i] == b) return val[i];
+      i = (i + 1) & mask;
+    }
+  }
+  void put(uint64_t a, uint64_t b, uint32_t v) {  // keep-first
+    if (2 * used >= mask) grow();
+    size_t i = mix(a, b) & mask;
+    for (;;) {
+      if (val[i] == UINT32_MAX) {
+        k0[i] = a; k1[i] = b; val[i] = v; used++;
+        return;
+      }
+      if (k0[i] == a && k1[i] == b) return;
+      i = (i + 1) & mask;
+    }
   }
 };
 
-std::vector<uint32_t> sort_order(const std::vector<ReadRec>& reads) {
-  std::vector<uint32_t> order(reads.size());
-  for (uint32_t i = 0; i < order.size(); i++) order[i] = i;
-  std::stable_sort(order.begin(), order.end(),
-                   [&](uint32_t a, uint32_t b) {
-                     return reads[a].qual > reads[b].qual;
-                   });
+std::vector<uint32_t> sort_order(const ReadStore& reads) {
+  // descending by summed quality, ties in file order: one radix-
+  // friendly u64 sort on ((0xFFFF - qual) << 32 | index), identical
+  // order to the reference's stable johnSort (Genrich.c:3274-3354).
+  std::vector<uint64_t> keys(reads.size());
+  for (uint32_t i = 0; i < keys.size(); i++)
+    keys[i] = ((uint64_t)(0xFFFFu - reads.meta[i].qual) << 32) | i;
+  std::sort(keys.begin(), keys.end());
+  std::vector<uint32_t> order(keys.size());
+  for (size_t i = 0; i < keys.size(); i++)
+    order[i] = (uint32_t)keys[i];
   return order;
 }
 
 void find_dups(Context* c) {
   bool dups_verb = c->dups_out || c->dups_out_f;
-  bool seed_singles = c->opt.single_opt && !c->reads_sn.empty();
-  // singleton table: (chrom, pos, strand) -> first name
-  std::unordered_map<std::tuple<int, uint32_t, uint32_t>, std::string,
-                     KeyHash> table_sn;
-  auto check_add = [&](int ch, uint32_t pos, bool strand,
-                       const std::string& name) {
-    table_sn.emplace(std::make_tuple(ch, pos, (uint32_t)strand), name);
+  bool seed_singles = c->opt.single_opt && c->reads_sn.size() != 0;
+  // singleton table: (chrom, pos, strand) -> first occurrence, value
+  // tagged with the store it came from (pr/dc/sn) for -R naming
+  OAMap table_sn;
+  constexpr uint32_t TAG_PR = 0u << 30, TAG_DC = 1u << 30,
+                     TAG_SN = 2u << 30, TAG_MASK = 3u << 30;
+  if (seed_singles)
+    table_sn.init(2 * c->reads_pr.alns.size()
+                  + c->reads_dc.alns.size() + c->reads_sn.alns.size());
+  auto sn_key = [](int ch, uint32_t pos, bool strand) {
+    return ((uint64_t)(uint32_t)ch << 33)
+         | ((uint64_t)(strand ? 1 : 0) << 32) | pos;
+  };
+  auto sn_name = [&](uint32_t v) -> const char* {
+    const ReadStore& st = (v & TAG_MASK) == TAG_PR ? c->reads_pr
+                        : (v & TAG_MASK) == TAG_DC ? c->reads_dc
+                                                   : c->reads_sn;
+    return st.name(st.meta[v & ~TAG_MASK]);
   };
 
   {  // properly paired
-    std::unordered_map<std::tuple<int, uint32_t, uint32_t>,
-                       std::string, KeyHash> table;
-    table.reserve(2 * c->reads_pr.size() + 16);
-    if (seed_singles)
-      table_sn.reserve(4 * c->reads_pr.size()
-                       + 2 * c->reads_dc.size()
-                       + c->reads_sn.size() + 16);
+    OAMap table;
+    table.init(c->reads_pr.alns.size());
     for (uint32_t i : sort_order(c->reads_pr)) {
-      ReadRec& r = c->reads_pr[i];
+      const ReadStore::Meta& m = c->reads_pr.meta[i];
+      const Aln* alns = c->reads_pr.alns.data() + m.aln_off;
       const Aln* hit = nullptr;
-      const std::string* match = nullptr;
-      for (const Aln& a : r.alns) {
-        auto it = table.find({a.chrom, a.pos0, a.pos1});
-        if (it != table.end()) { hit = &a; match = &it->second; break; }
+      uint32_t match = UINT32_MAX;
+      for (uint16_t k = 0; k < m.aln_cnt; k++) {
+        const Aln& a = alns[k];
+        uint32_t v = table.find(((uint64_t)(uint32_t)a.chrom << 32)
+                                | a.pos0, a.pos1);
+        if (v != UINT32_MAX) { hit = &a; match = v; break; }
       }
       c->ctr.count_pr++;
       if (hit) {
         c->ctr.dups_pr++;
         if (dups_verb)
           outf(c, c->dups_out, c->dups_out_f,
-               "%s\t%s:%u-%u\t%s\tpaired\n", r.name.c_str(),
+               "%s\t%s:%u-%u\t%s\tpaired\n", c->reads_pr.name(m),
                c->chroms[hit->chrom].name.c_str(), hit->pos0,
-               hit->pos1, match->c_str());
+               hit->pos1, c->reads_pr.name(c->reads_pr.meta[match]));
         continue;
       }
-      for (const Aln& a : r.alns) {
-        table[{a.chrom, a.pos0, a.pos1}] = dups_verb ? r.name : "";
+      for (uint16_t k = 0; k < m.aln_cnt; k++) {
+        const Aln& a = alns[k];
+        table.put(((uint64_t)(uint32_t)a.chrom << 32) | a.pos0,
+                  a.pos1, i);
         if (seed_singles) {
-          check_add(a.chrom, a.pos0, true, dups_verb ? r.name : "");
-          check_add(a.chrom, a.pos1, false, dups_verb ? r.name : "");
+          table_sn.put(sn_key(a.chrom, a.pos0, true), 0, i | TAG_PR);
+          table_sn.put(sn_key(a.chrom, a.pos1, false), 0, i | TAG_PR);
         }
       }
-      c->ctr.paired_pr += process_pair(c, r.name, r.alns, r.score);
+      c->ctr.paired_pr += process_pair(c, c->reads_pr.name(m), alns,
+                                       m.aln_cnt, m.score);
     }
   }
 
@@ -665,101 +754,112 @@ void find_dups(Context* c) {
   }
 
   {  // discordant
-    std::unordered_map<std::tuple<int, int, uint32_t, int, int,
-                                  uint32_t>, std::string, Key6Hash>
-        table;
-    table.reserve(2 * c->reads_dc.size() + 16);
+    OAMap table;
+    table.init(c->reads_dc.alns.size());
+    auto dc_key = [](const Aln& a, uint32_t pos) {
+      return ((uint64_t)(uint32_t)a.chrom << 33)
+           | ((uint64_t)(a.strand ? 1 : 0) << 32) | pos;
+    };
     for (uint32_t i : sort_order(c->reads_dc)) {
-      ReadRec& r = c->reads_dc[i];
+      const ReadStore::Meta& m = c->reads_dc.meta[i];
+      const Aln* al1 = c->reads_dc.alns.data() + m.aln_off;
+      const Aln* al2 = c->reads_dc.alns.data() + m.aln2_off;
       bool dup = false;
-      for (const Aln& a : r.alns) {
+      for (uint16_t k = 0; k < m.aln_cnt && !dup; k++) {
+        const Aln& a = al1[k];
         uint32_t pos = a.strand ? a.pos0 : a.pos1;
-        for (const Aln& b : r.alns_r2) {
+        for (uint16_t j = 0; j < m.aln2_cnt; j++) {
+          const Aln& b = al2[j];
           uint32_t pos1 = b.strand ? b.pos0 : b.pos1;
-          auto i1 = table.find({a.chrom, (int)a.strand, pos, b.chrom,
-                                (int)b.strand, pos1});
-          if (i1 != table.end()) {
+          uint32_t v1 = table.find(dc_key(a, pos), dc_key(b, pos1));
+          if (v1 != UINT32_MAX) {
             dup = true;
             if (dups_verb)
               outf(c, c->dups_out, c->dups_out_f,
                    "%s\t%s:%u,%c;%s:%u,%c\t%s\tdiscordant\n",
-                   r.name.c_str(), c->chroms[a.chrom].name.c_str(),
+                   c->reads_dc.name(m),
+                   c->chroms[a.chrom].name.c_str(),
                    pos, a.strand ? '+' : '-',
                    c->chroms[b.chrom].name.c_str(), pos1,
-                   b.strand ? '+' : '-', i1->second.c_str());
+                   b.strand ? '+' : '-',
+                   c->reads_dc.name(c->reads_dc.meta[v1]));
             break;
           }
-          auto i2 = table.find({b.chrom, (int)b.strand, pos1, a.chrom,
-                                (int)a.strand, pos});
-          if (i2 != table.end()) {
+          uint32_t v2 = table.find(dc_key(b, pos1), dc_key(a, pos));
+          if (v2 != UINT32_MAX) {
             dup = true;
             if (dups_verb)
               outf(c, c->dups_out, c->dups_out_f,
                    "%s\t%s:%u,%c;%s:%u,%c\t%s\tdiscordant\n",
-                   r.name.c_str(), c->chroms[b.chrom].name.c_str(),
+                   c->reads_dc.name(m),
+                   c->chroms[b.chrom].name.c_str(),
                    pos1, b.strand ? '+' : '-',
                    c->chroms[a.chrom].name.c_str(), pos,
-                   a.strand ? '+' : '-', i2->second.c_str());
+                   a.strand ? '+' : '-',
+                   c->reads_dc.name(c->reads_dc.meta[v2]));
             break;
           }
         }
-        if (dup) break;
       }
       c->ctr.count_dc++;
       if (dup) { c->ctr.dups_dc++; continue; }
-      for (size_t k = 0; k < r.alns.size(); k++) {
-        const Aln& a = r.alns[k];
+      for (uint16_t k = 0; k < m.aln_cnt; k++) {
+        const Aln& a = al1[k];
         uint32_t pos = a.strand ? a.pos0 : a.pos1;
-        for (size_t j = 0; j < r.alns_r2.size(); j++) {
-          const Aln& b = r.alns_r2[j];
+        for (uint16_t j = 0; j < m.aln2_cnt; j++) {
+          const Aln& b = al2[j];
           uint32_t pos1 = b.strand ? b.pos0 : b.pos1;
-          table[{a.chrom, (int)a.strand, pos, b.chrom, (int)b.strand,
-                 pos1}] = dups_verb ? r.name : "";
+          table.put(dc_key(a, pos), dc_key(b, pos1), i);
           if (seed_singles) {
             if (j == 0)
-              check_add(a.chrom, pos, a.strand,
-                        dups_verb ? r.name : "");
+              table_sn.put(sn_key(a.chrom, pos, a.strand), 0,
+                           i | TAG_DC);
             if (k == 0)
-              check_add(b.chrom, pos1, b.strand,
-                        dups_verb ? r.name : "");
+              table_sn.put(sn_key(b.chrom, pos1, b.strand), 0,
+                           i | TAG_DC);
           }
         }
       }
-      c->ctr.single_pr += process_single(c, r.name, r.alns, extend_opt,
-                                         extend, false, r.score, true);
-      c->ctr.single_pr += process_single(c, r.name, r.alns_r2,
-                                         extend_opt, extend, false,
-                                         r.score_r2, false);
+      c->ctr.single_pr += process_single(c, c->reads_dc.name(m), al1,
+                                         m.aln_cnt, extend_opt,
+                                         extend, false, m.score, true);
+      c->ctr.single_pr += process_single(c, c->reads_dc.name(m), al2,
+                                         m.aln2_cnt, extend_opt,
+                                         extend, false, m.score_r2,
+                                         false);
     }
   }
 
   {  // singletons
     for (uint32_t i : sort_order(c->reads_sn)) {
-      ReadRec& r = c->reads_sn[i];
+      const ReadStore::Meta& m = c->reads_sn.meta[i];
+      const Aln* alns = c->reads_sn.alns.data() + m.aln_off;
       bool dup = false;
-      for (const Aln& a : r.alns) {
+      for (uint16_t k = 0; k < m.aln_cnt; k++) {
+        const Aln& a = alns[k];
         uint32_t pos = a.strand ? a.pos0 : a.pos1;
-        auto it = table_sn.find({a.chrom, pos, (uint32_t)a.strand});
-        if (it != table_sn.end()) {
+        uint32_t v = table_sn.find(sn_key(a.chrom, pos, a.strand), 0);
+        if (v != UINT32_MAX) {
           dup = true;
           if (dups_verb)
             outf(c, c->dups_out, c->dups_out_f, "%s\t%s:%u,%c\t%s\t"
-                 "single\n", r.name.c_str(),
+                 "single\n", c->reads_sn.name(m),
                  c->chroms[a.chrom].name.c_str(), pos,
-                 a.strand ? '+' : '-', it->second.c_str());
+                 a.strand ? '+' : '-', sn_name(v));
           break;
         }
       }
       c->ctr.count_sn++;
       if (dup) { c->ctr.dups_sn++; continue; }
-      for (const Aln& a : r.alns) {
+      for (uint16_t k = 0; k < m.aln_cnt; k++) {
+        const Aln& a = alns[k];
         uint32_t pos = a.strand ? a.pos0 : a.pos1;
-        table_sn[{a.chrom, pos, (uint32_t)a.strand}] =
-            dups_verb ? r.name : "";
+        table_sn.put(sn_key(a.chrom, pos, a.strand), 0, i | TAG_SN);
       }
-      c->ctr.single_pr += process_single(c, r.name, r.alns, extend_opt,
-                                         extend, false, r.score,
-                                         r.first);
+      c->ctr.single_pr += process_single(c, c->reads_sn.name(m), alns,
+                                         m.aln_cnt, extend_opt,
+                                         extend, false, m.score,
+                                         m.first);
     }
   }
 }
@@ -1531,16 +1631,26 @@ int64_t gi_parse(void* h, const char* path, int is_bam_hint, int ctrl,
   int64_t count = -1;
   try {
     Reader rd(path);
-    if (!rd.gz) fail(path, ERROPEN);
-    // peek magic: gz handles both plain and gzip; check BAM magic
+    if (!rd.valid()) fail(path, ERROPEN);
+    // peek magic (both the zlib and BGZF-MT paths decompress
+    // transparently); consume it only for BAM, whose reader starts
+    // at l_text
     unsigned char magic[4];
-    int n = gzread(rd.gz, magic, 4);
+    size_t n = rd.peek(magic, 4);
     bool bam = (n == 4 && !memcmp(magic, "BAM\1", 4));
-    if (!bam) gzrewind(rd.gz);
+    if (bam) rd.read(magic, 4);
+    const bool prof = getenv("GENRICH_NATIVE_PROF") != nullptr;
+    auto t0 = std::chrono::steady_clock::now();
     count = bam ? (int64_t)read_bam(c, rd) : (int64_t)read_sam(c, rd);
     c->ctr.count = (uint64_t)count;
+    auto t1 = std::chrono::steady_clock::now();
     if (c->opt.dups_opt) find_dups(c);
     else if (c->opt.avg_ext_opt) process_avg_ext(c);
+    auto t2 = std::chrono::steady_clock::now();
+    if (prof)
+      fprintf(stderr, "[native] records: %.3fs  post(find_dups): %.3fs\n",
+              std::chrono::duration<double>(t1 - t0).count(),
+              std::chrono::duration<double>(t2 - t1).count());
   } catch (const IngestError& e) {
     c->err_code = e.code;
     c->err_msg = e.msg;
@@ -1867,7 +1977,7 @@ int64_t gi_call_peaks_log(const char* path, int32_t idx_p,
   LogPeaks& lp = g_lp;
   lp = LogPeaks();
   Reader rd(path);
-  if (!rd.gz) return -1;
+  if (!rd.valid()) return -1;
   if (!rd.line()) return -1;          // header (validated in Python)
 
   int32_t idx_max = use_q && idx_q > idx_p ? idx_q : idx_p;

@@ -100,13 +100,18 @@ def synth_bam(path: str, n_pairs: int, seed: int = 7,
         return (seq_pool[(o := rng.randrange(seq_max)):o + seq_len] +
                 qual_pool[(o := rng.randrange(qual_max)):o + read_len])
 
+    # ~120 tight hotspots per chrom: at 1M+ pairs the clustered
+    # coverage reaches a few hundred x background, deep enough that
+    # BH-corrected q-values pass 0.05 on the 125 Mbp genome (the
+    # README example's regime: strong ATAC peaks vs lambda~2.5).
     hotspots = []
     for ci, (_, clen) in enumerate(chroms):
         hotspots += [(ci, clen, rng.randrange(10_000, clen - 10_000))
-                     for _ in range(400)]
+                     for _ in range(120)]
 
-    def one_pair(qi: int, ci: int, clen: int, p1: int) -> None:
-        frag = rng.randrange(read_len + 20, 500)
+    def one_pair(qi: int, ci: int, clen: int, p1: int,
+                 frag: int = 0) -> int:
+        frag = frag or rng.randrange(read_len + 20, 500)
         p2 = min(p1 + frag - read_len, clen - read_len - 1)
         qn = b"q%09d" % qi
         n_aln = 1
@@ -129,21 +134,23 @@ def synth_bam(path: str, n_pairs: int, seed: int = 7,
                 qn, 0x93 | sec, ci, q2, 42, cigar, 1, ci, q1,
                 -(q2 + read_len - q1), read_len, seqqual_rand(), aux))
         w.write(b"".join(recs))
+        return frag
 
     qi = 0
     n_hot = len(hotspots)
     for i in range(n_pairs):
         if rng.random() < 0.6:
             ci, clen, hs = hotspots[rng.randrange(n_hot)]
-            p1 = max(0, hs + rng.randrange(-400, 400))
+            p1 = max(0, hs + rng.randrange(-150, 150))
         else:
             ci, clen = rng.randrange(len(chroms)), 0
             clen = chroms[ci][1]
             p1 = rng.randrange(0, clen - 600)
-        one_pair(qi, ci, clen, p1)
+        frag = one_pair(qi, ci, clen, p1)
         qi += 1
-        if rng.random() < dup_frac:          # exact-position duplicate
-            one_pair(qi, ci, clen, p1)
+        if rng.random() < dup_frac:
+            # true PCR duplicate: identical 5' coordinates both ends
+            one_pair(qi, ci, clen, p1, frag=frag)
             qi += 1
         if i % 500_000 == 0:
             sys.stderr.write(f"  synth {i}/{n_pairs}\r")
