@@ -8,10 +8,16 @@ kernel, tile by tile across a human-sized genome.
 
 Prints one JSON line: genome positions scanned per second,
 vs_baseline = ratio over the reference's implied 4.5e6 positions/s.
+The line also carries an "e2e" key: measured wall times of the
+compiled reference vs our CLI engines on a multi-million-record BGZF
+BAM (scripts/bench_e2e.py) — the honest end-to-end ratio on this
+machine, not the kernel-only number.  GENRICH_BENCH_E2E=0 skips it;
+GENRICH_BENCH_E2E_PAIRS sizes it (default 2M pairs ~ 4.9M records).
 """
 
 from __future__ import annotations
 
+import os
 import json
 import sys
 import time
@@ -81,6 +87,17 @@ def main() -> None:
         "unit": "positions/s",
         "vs_baseline": round(value / BASELINE_POS_PER_SEC, 3),
     }
+    if os.environ.get("GENRICH_BENCH_E2E", "1") != "0":
+        try:
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "scripts"))
+            from bench_e2e import bench_e2e
+            n_pairs = int(os.environ.get("GENRICH_BENCH_E2E_PAIRS",
+                                         "2000000"))
+            out["e2e"] = bench_e2e(n_pairs, include_jax=True,
+                                   timeout=420.0)
+        except Exception as exc:  # the e2e leg must never kill bench
+            out["e2e"] = {"error": f"{type(exc).__name__}: {exc}"}
     print(json.dumps(out))
     print(f"# {n_tiles} tiles x {EVENTS_PER_TILE} events, "
           f"{dt:.2f}s total, device={jax.devices()[0].platform}",

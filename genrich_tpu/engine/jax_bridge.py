@@ -128,11 +128,88 @@ class JaxEngine:
         self._peaks_fn = _peaks
         self._reps: List[Dict[int, tuple]] = []
 
+    # --- warmup ---------------------------------------------------------
+
+    def prepare(self, max_events: int, max_excl_pairs: int,
+                min_pq: float, min_auc: float, min_len: int,
+                max_gap: int, use_q: bool) -> None:
+        """Fix one global shape bucket and prewarm device programs.
+
+        Called by the pipeline once all events are parsed: every
+        chromosome pads to the same power-of-two event bucket, so each
+        stage is ONE compiled program per run instead of one per
+        (program x chrom-size bucket).  Background threads then issue
+        dummy calls for every stage so executable compile/load —
+        25-100 s per program on a tunneled TPU — proceeds concurrently
+        instead of serializing at first real use.  Harmless on fast
+        backends: the dummy inputs are tiny-to-allocate and dispatch
+        waits coalesce in jax's compile cache.
+        """
+        import threading
+
+        jnp = self.jnp
+        self._bucket = _pad_pow2(max_events)
+        pairs = 64
+        while max_excl_pairs > pairs:
+            pairs *= 4
+        self._excl_pairs = pairs
+        b = self._bucket
+        n_iv = 1 + 4 * b + 2 * pairs
+
+        def mk(shape, dtype):
+            return jnp.zeros(shape, dtype)
+
+        def warm_coverage():
+            ev = mk(b, jnp.int32)
+            excl = jnp.full((pairs, 2), 1 << 20, jnp.int32)
+            self._coverage(ev, ev, ev, ev, ev, ev, excl,
+                           jnp.int32(1 << 20))
+
+        def warm_stats():
+            f = mk(n_iv, jnp.float32)
+            self._stats_fn(f, f, mk(n_iv, bool), jnp.float32(1.0),
+                           jnp.float32(1.0))
+
+        def warm_distinct():
+            i = mk(n_iv, jnp.int32)
+            self._distinct_fn(i, i, mk(n_iv, jnp.float32),
+                              mk(n_iv, bool))
+
+        def warm_peaks():
+            i = mk(n_iv, jnp.int32)
+            f = mk(n_iv, jnp.float32)
+            tab = mk(1 << 13, jnp.float32) if use_q \
+                else mk(1, jnp.float32)
+            self._peaks_fn(i, i, f, mk(n_iv, bool), tab, tab,
+                           jnp.float32(min_pq), jnp.float32(min_auc),
+                           min_len=min_len, max_gap=max_gap,
+                           use_q=use_q,
+                           k_peaks=min(PEAK_CAP, n_iv))
+
+        targets = [warm_coverage, warm_stats]
+        if use_q:
+            targets.append(warm_distinct)
+        targets.append(warm_peaks)
+        self._warm_threads = []
+        for fn in targets:
+            t = threading.Thread(target=lambda f=fn: self._swallow(f),
+                                 daemon=True)
+            t.start()
+            self._warm_threads.append(t)
+
+    @staticmethod
+    def _swallow(fn):
+        try:
+            fn()
+        except Exception:
+            pass    # warmup is an optimization only
+
     # --- input staging -------------------------------------------------
 
     def _pad_excl(self, bed: List[int], chrom_len: int,
                   max_pairs: int = 64) -> "np.ndarray":
         """Fixed-shape exclusion array (shape stability across jits)."""
+        max_pairs = getattr(self, "_excl_pairs", max_pairs)
         pairs = len(bed) // 2
         while pairs > max_pairs:
             max_pairs *= 4
@@ -167,7 +244,9 @@ class JaxEngine:
         jnp = self.jnp
         n = max(len(expt_ev[0]) if expt_ev else 1,
                 len(ctrl_ev[0]) if ctrl_ev else 1)
-        size = _pad_pow2(n)
+        size = getattr(self, "_bucket", 0) or _pad_pow2(n)
+        if size < n:             # safety: prepare() saw fewer events
+            size = _pad_pow2(n)
         es, ee, ec = self._pad_events(expt_ev, chrom_len, size)
         cs, ce, cc = self._pad_events(ctrl_ev, chrom_len, size)
         excl = jnp.asarray(self._pad_excl(bed, chrom_len))
@@ -305,7 +384,10 @@ class JaxEngine:
         ul = np.zeros(len(uv), np.uint64)
         np.add.at(ul, inv, w_all)
         qv = qvalue.qvalues(uv.astype(F32), ul, genome_len)
-        size = _pad_pow2(len(uv), lo=1 << 8)
+        # fixed floor so the peaks program's table shape is known to
+        # prepare()'s prewarm (distinct fraction-quantized p-values
+        # rarely exceed a few thousand)
+        size = _pad_pow2(len(uv), lo=1 << 13)
         tab_p = np.full(size, np.inf, F32)
         tab_q = np.zeros(size, F32)
         tab_p[:len(uv)] = uv

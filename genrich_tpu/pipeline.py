@@ -287,6 +287,24 @@ def _replicate_jax(eng, registry: ChromRegistry,
     if not genome_len:
         raise fatal("", ERRGEN)
 
+    if hasattr(eng, "prepare") and not getattr(eng, "_bucket", 0):
+        # one global event bucket + background program prewarm: every
+        # chromosome pads to the same shapes, so each device stage
+        # compiles/loads exactly once per run, concurrently
+        max_ev = 1
+        max_excl = 0
+        for c in registry:
+            if c.skip or not c.save:
+                continue
+            for sink in (expt_sink, ctrl_sink):
+                ev = _chrom_events(sink, c.index) if sink else None
+                if ev is not None:
+                    max_ev = max(max_ev, len(ev[0]))
+            max_excl = max(max_excl, len(c.bed) // 2)
+        eng.prepare(max_ev, max_excl, float(p.pqvalue),
+                    float(p.min_auc), int(p.min_len), int(p.max_gap),
+                    bool(p.qval_opt))
+
     frag = 0.0
     ctrl_frag = 0.0
     for c in registry:

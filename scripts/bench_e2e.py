@@ -1,0 +1,116 @@
+"""End-to-end benchmark: compiled reference vs our CLI on one BAM.
+
+Synthesizes (and caches) a multi-million-record BGZF BAM with the
+published workload's shape (SURVEY.md §6: ATAC, PCR duplicates,
+multimappers, -r -j -q 0.05), then times
+
+  - the compiled reference binary (tests/oracle.build_oracle),
+  - ``--engine exact``  (native ingest + numpy; byte-parity checked),
+  - ``--engine jax``    (native ingest + TPU device numerics),
+
+on identical inputs and flags.  Prints a JSON dict; bench.py embeds
+it in its single-line output as the "e2e" key.
+
+The reference's only published number is 146M records in 10.5 min
+single-core (README.md:459-511, ~232K records/s); this measures the
+actual ratio on the same machine instead of trusting that anchor.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CACHE_DIR = os.environ.get("GENRICH_PERF_DIR", "/tmp/genrich_perf")
+FLAGS = ["-r", "-j", "-q", "0.05", "-a", "20"]
+
+
+def _bam_path(n_pairs: int) -> str:
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, f"atac_e2e_{n_pairs}.bam")
+    if not os.path.exists(path):
+        sys.stderr.write(f"# synthesizing {n_pairs}-pair BAM...\n")
+        sys.path.insert(0, os.path.join(REPO, "scripts"))
+        import perf_synth
+        perf_synth.synth_bam(path, n_pairs)
+    return path
+
+
+def _oracle_bin() -> str:
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    import oracle
+    return oracle.build_oracle()
+
+
+def _env() -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def _run(cmd, cwd, timeout) -> tuple:
+    t0 = time.perf_counter()
+    try:
+        r = subprocess.run(cmd, cwd=cwd, capture_output=True,
+                           text=True, env=_env(), timeout=timeout)
+        return time.perf_counter() - t0, r.returncode, r.stderr
+    except subprocess.TimeoutExpired:
+        return time.perf_counter() - t0, None, "timeout"
+
+
+def bench_e2e(n_pairs: int = 2_000_000, include_jax: bool = True,
+              timeout: float = 900.0) -> dict:
+    bam = _bam_path(n_pairs)
+    ref = _oracle_bin()
+    out = {"n_pairs": n_pairs, "flags": " ".join(FLAGS)}
+    with tempfile.TemporaryDirectory() as d:
+        # -v's counter block is a handful of stderr lines; its timing
+        # cost is noise and it carries the record count
+        t, rc, err = _run([ref, "-t", bam, "-o", "ref.np", "-v"]
+                          + FLAGS, d, timeout)
+        assert rc == 0, err[-500:]
+        out["ref_s"] = round(t, 2)
+        for line in err.splitlines():
+            if "records analyzed" in line:
+                out["records"] = int(line.split()[-1])
+
+        t, rc, err = _run(
+            [sys.executable, "-m", "genrich_tpu", "-t", bam, "-o",
+             "exact.np", "--engine", "exact", "-v"] + FLAGS, d, timeout)
+        assert rc == 0, err[-500:]
+        out["exact_s"] = round(t, 2)
+        ref_np = open(os.path.join(d, "ref.np"), "rb").read()
+        out["exact_match"] = \
+            ref_np == open(os.path.join(d, "exact.np"), "rb").read()
+        out["exact_speedup"] = round(out["ref_s"] / out["exact_s"], 3)
+
+        if include_jax:
+            t, rc, err = _run(
+                [sys.executable, "-m", "genrich_tpu", "-t", bam, "-o",
+                 "jax.np", "--engine", "jax", "-v"] + FLAGS, d, timeout)
+            if rc == 0:
+                out["jax_s"] = round(t, 2)
+                out["jax_speedup"] = round(out["ref_s"] / t, 3)
+                jax_lines = open(os.path.join(d, "jax.np")).readlines()
+                out["jax_peaks"] = len(jax_lines)
+                out["ref_peaks"] = len(ref_np.decode().splitlines())
+            else:
+                out["jax_s"] = None
+                out["jax_error"] = (err or "")[-200:]
+    if "records" in out:
+        out["exact_records_per_s"] = round(
+            out["records"] / out["exact_s"], 1)
+        out["ref_records_per_s"] = round(
+            out["records"] / out["ref_s"], 1)
+    return out
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    jax_flag = os.environ.get("GENRICH_BENCH_E2E_JAX", "1") != "0"
+    print(json.dumps(bench_e2e(n, include_jax=jax_flag), indent=2))

@@ -103,12 +103,35 @@ def test_device_engine_with_ctrl_and_exclusions(tmp_path, engine):
              str(tmp_path / "x.bed"), "-q", "0.5"]
     exact = _run(tmp_path, "exact", extra)
     fast = _run(tmp_path, engine, extra + ["--engine", engine])
-    # q-mode boundaries can shift only where a float32 statistic lands
-    # within noise of the threshold; compare threshold-aware below
-    assert abs(len(exact) - len(fast)) <= max(1, len(exact) // 20)
-    same = sum(a.split("\t")[:3] == b.split("\t")[:3]
-               for a, b in zip(exact, fast))
-    assert same >= min(len(exact), len(fast)) * 0.95
+    # Threshold-aware comparison: float32 device stats may flip
+    # significance only for intervals within eps of the -log10(0.5)
+    # cutoff, so any unmatched peak must be threshold-marginal (its
+    # summit q within eps, or it borders a matched peak split/joined
+    # at a marginal gap interval).  Matched peaks must agree exactly
+    # on coordinates.
+    key = lambda ln: tuple(ln.split("\t")[:3])     # noqa: E731
+    ek = {key(ln): ln for ln in exact}
+    fk = {key(ln): ln for ln in fast}
+    eps = 0.02
+    thresh = 0.30103     # -log10(0.5)
+
+    def spans(lines):
+        return [(f[0], int(f[1]), int(f[2]), float(f[8]))
+                for f in (ln.split("\t") for ln in lines)]
+
+    def check_only(only_keys, src, other_spans):
+        for k in only_keys:
+            f = src[k].split("\t")
+            chrom, s, e, q = f[0], int(f[1]), int(f[2]), float(f[8])
+            overlaps = any(c == chrom and s < oe and os_ < e
+                           for c, os_, oe, _ in other_spans)
+            if overlaps:
+                continue    # same peak, a marginal edge interval moved
+            assert abs(q - thresh) <= eps, (k, src[k])
+
+    check_only(ek.keys() - fk.keys(), ek, spans(fast))
+    check_only(fk.keys() - ek.keys(), fk, spans(exact))
+    assert len(ek.keys() & fk.keys()) >= len(exact) * 0.95
 
 
 @pytest.mark.parametrize("engine", ENGINES)
