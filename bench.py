@@ -95,7 +95,7 @@ def main() -> None:
             n_pairs = int(os.environ.get("GENRICH_BENCH_E2E_PAIRS",
                                          "2000000"))
             out["e2e"] = bench_e2e(n_pairs, include_jax=True,
-                                   timeout=420.0)
+                                   timeout=900.0)
         except Exception as exc:  # the e2e leg must never kill bench
             out["e2e"] = {"error": f"{type(exc).__name__}: {exc}"}
     print(json.dumps(out))

@@ -39,6 +39,17 @@ AXIS = "tiles"
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            # fail loudly: silently validating a smaller mesh (e.g.
+            # one TPU chip when 8 virtual CPU devices were intended)
+            # would make multi-device checks vacuous
+            raise RuntimeError(
+                f"make_mesh({n_devices}): only {len(devs)} "
+                f"device(s) visible on platform "
+                f"'{devs[0].platform}'; set JAX_PLATFORMS=cpu and "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count="
+                f"{n_devices} (and disable any TPU plugin) for a "
+                f"virtual mesh")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (AXIS,))
 
