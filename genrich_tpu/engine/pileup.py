@@ -135,8 +135,7 @@ def _nonzero_entries(start, end, count):
     from ..ingest.native import breakpoints
     bp = breakpoints(start, end, count)
     if bp is not None:
-        upos, c0, c1, c2, c3 = bp
-        return upos, canon_value_f32(c0, c1, c2, c3)
+        return bp
     count64 = count.astype(np.int64)
     pos = np.concatenate([start, end]).astype(np.int64)
     deltas = np.stack([

@@ -42,10 +42,21 @@ def collect_pvals(pvals: List[Pileup]) -> Tuple[np.ndarray, np.ndarray]:
         return np.zeros(0, F32), np.zeros(0, np.uint64)
     v = np.concatenate(vs)
     l = np.concatenate(ls)
-    uv, inv = np.unique(v, return_inverse=True)
-    ul = np.zeros(len(uv), np.uint64)
-    np.add.at(ul, inv, l)
-    return uv.astype(F32), ul
+    if len(v) == 0:
+        return np.zeros(0, F32), np.zeros(0, np.uint64)
+    # group-by-sorted-runs: one argsort + cumsum (np.unique's
+    # return_inverse + np.add.at scatter costs ~3x more here)
+    order = np.argsort(v, kind="stable")
+    sv = v[order]
+    sl = l[order].astype(np.uint64)
+    first = np.empty(len(sv), bool)
+    first[0] = True
+    np.not_equal(sv[1:], sv[:-1], out=first[1:])
+    starts = np.flatnonzero(first)
+    csum = np.cumsum(sl)
+    grp_last = np.concatenate([starts[1:] - 1, [len(sl) - 1]])
+    ul = np.diff(csum[grp_last], prepend=np.uint64(0))
+    return sv[starts].astype(F32), ul.astype(np.uint64)
 
 
 def qvalues(p_distinct: np.ndarray, p_len: np.ndarray,

@@ -288,10 +288,11 @@ def write_pile_rows(path: str, gz: bool, name: str, starts, ends,
 
 
 def breakpoints(start, end, count):
-    """Native sorted nonzero-entry positions + cumulative class sums.
+    """Native sorted nonzero-entry positions + canonical f32 values.
 
-    Returns (upos, cum0..cum3) int64 arrays, or None if lib absent.
-    Identical integer math to engine.pileup._nonzero_entries.
+    Returns (upos int64, vals float32), or None if lib absent.
+    Identical integer/float32 math to engine.pileup._nonzero_entries
+    + canon_value_f32 (getVal, Genrich.c:1902-1907).
     """
     import numpy as np
     try:
@@ -301,24 +302,26 @@ def breakpoints(start, end, count):
     if not hasattr(lib, "_bp_ready"):
         p64 = ctypes.POINTER(ctypes.c_int64)
         p32 = ctypes.POINTER(ctypes.c_int32)
+        pf = ctypes.POINTER(ctypes.c_float)
         lib.gi_breakpoints_arrays.restype = ctypes.c_int64
         lib.gi_breakpoints_arrays.argtypes = [p64, p64, p32,
                                               ctypes.c_int64]
-        lib.gi_breakpoints_fetch.argtypes = [ctypes.c_void_p, p64,
-                                             p64, p64, p64, p64]
+        lib.gi_breakpoints_fetch.argtypes = [ctypes.c_void_p, p64, pf]
         lib._bp_ready = True
     s = np.ascontiguousarray(start, np.int64)
     e = np.ascontiguousarray(end, np.int64)
     c = np.ascontiguousarray(count, np.int32)
     p64 = ctypes.POINTER(ctypes.c_int64)
     p32 = ctypes.POINTER(ctypes.c_int32)
+    pf = ctypes.POINTER(ctypes.c_float)
     n = lib.gi_breakpoints_arrays(s.ctypes.data_as(p64),
                                   e.ctypes.data_as(p64),
                                   c.ctypes.data_as(p32), len(s))
-    out = [np.empty(n, np.int64) for _ in range(5)]
-    lib.gi_breakpoints_fetch(None, *(o.ctypes.data_as(p64)
-                                     for o in out))
-    return tuple(out)
+    upos = np.empty(n, np.int64)
+    vals = np.empty(n, np.float32)
+    lib.gi_breakpoints_fetch(None, upos.ctypes.data_as(p64),
+                             vals.ctypes.data_as(pf))
+    return upos, vals
 
 
 def exact_sum_f32(terms) -> Optional[float]:

@@ -1744,7 +1744,7 @@ void gi_log10f(const float* in, float* out, int64_t n) {
 namespace {
 struct BpState {
   std::vector<int64_t> pos;
-  std::vector<int64_t> c0, c1, c2, c3;
+  std::vector<float> val;
 };
 thread_local BpState g_bp;
 
@@ -1808,10 +1808,14 @@ static int64_t bp_compute(const int64_t* starts, const int64_t* ends,
   }
 
   BpState& bp = g_bp;
-  bp.pos.clear(); bp.c0.clear(); bp.c1.clear(); bp.c2.clear();
-  bp.c3.clear();
+  bp.pos.clear(); bp.val.clear();
   int64_t t0 = 0, t1 = 0, t2 = 0, t3 = 0;   // running cumulative sums
   size_t i = 0;
+  // C++ % keeps sign; emulate python floor semantics for negatives
+  auto fmod4 = [](int64_t v, int64_t m) {
+    int64_t r = v % m; return r < 0 ? r + m : r; };
+  auto fdiv = [](int64_t v, int64_t m) {
+    return (v >= 0) ? v / m : -(( -v + m - 1) / m); };
   while (i < pts.size()) {
     int64_t p = (int64_t)(pts[i] >> 5);
     int64_t d0 = 0, d1 = 0, d2 = 0, d3 = 0;
@@ -1822,36 +1826,32 @@ static int64_t bp_compute(const int64_t* starts, const int64_t* ends,
     }
     t0 += d0; t1 += d1; t2 += d2; t3 += d3;
     // canonical-nonzero test on the per-position delta
-    int64_t halves = d1 / 4 + d2 / 3 + d3 / 5;
-    int64_t e = d1 % 4, s = d2 % 3, tt = d3 % 5;
-    // C++ % keeps sign; emulate python floor semantics for negatives
-    auto fmod4 = [](int64_t v, int64_t m) {
-      int64_t r = v % m; return r < 0 ? r + m : r; };
-    auto fdiv = [](int64_t v, int64_t m) {
-      return (v >= 0) ? v / m : -(( -v + m - 1) / m); };
-    halves = fdiv(d1, 4) + fdiv(d2, 3) + fdiv(d3, 5);
-    e = fmod4(d1, 4); s = fmod4(d2, 3); tt = fmod4(d3, 5);
+    int64_t halves = fdiv(d1, 4) + fdiv(d2, 3) + fdiv(d3, 5);
+    int64_t e = fmod4(d1, 4), s = fmod4(d2, 3), tt = fmod4(d3, 5);
     bool nz = e != 0 || s != 0 || tt != 0 || fmod4(halves, 2) != 0
               || (d0 + fdiv(halves, 2)) != 0;
     if (nz) {
       bp.pos.push_back(p);
-      bp.c0.push_back(t0); bp.c1.push_back(t1);
-      bp.c2.push_back(t2); bp.c3.push_back(t3);
+      // getVal (Genrich.c:1902-1907) on the cumulative sums: same
+      // float32 op order as engine.pileup.canon_value_f32
+      // (class cumsums t1..t3 are nonnegative by construction)
+      int64_t ch = t1 / 4 + t2 / 3 + t3 / 5;
+      float v = (float)(int32_t)(t0 + ch / 2);
+      v = v + (float)(int32_t)(t1 % 4 + 4 * (ch % 2)) / 8.0f;
+      v = v + (float)(int32_t)(t2 % 3) / 6.0f;
+      v = v + (float)(int32_t)(t3 % 5) / 10.0f;
+      bp.val.push_back(v);
     }
   }
   return (int64_t)bp.pos.size();
 }
 
-void gi_breakpoints_fetch(void* h, int64_t* pos, int64_t* c0,
-                          int64_t* c1, int64_t* c2, int64_t* c3) {
+void gi_breakpoints_fetch(void* h, int64_t* pos, float* val) {
   (void)h;
   BpState& bp = g_bp;
   size_t n = bp.pos.size();
   memcpy(pos, bp.pos.data(), n * sizeof(int64_t));
-  memcpy(c0, bp.c0.data(), n * sizeof(int64_t));
-  memcpy(c1, bp.c1.data(), n * sizeof(int64_t));
-  memcpy(c2, bp.c2.data(), n * sizeof(int64_t));
-  memcpy(c3, bp.c3.data(), n * sizeof(int64_t));
+  memcpy(val, bp.val.data(), n * sizeof(float));
 }
 
 }  // extern "C"

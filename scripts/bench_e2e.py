@@ -53,11 +53,14 @@ def _env() -> dict:
     return env
 
 
-def _run(cmd, cwd, timeout) -> tuple:
+def _run(cmd, cwd, timeout, extra_env=None) -> tuple:
+    env = _env()
+    if extra_env:
+        env.update(extra_env)
     t0 = time.perf_counter()
     try:
         r = subprocess.run(cmd, cwd=cwd, capture_output=True,
-                           text=True, env=_env(), timeout=timeout)
+                           text=True, env=env, timeout=timeout)
         return time.perf_counter() - t0, r.returncode, r.stderr
     except subprocess.TimeoutExpired:
         return time.perf_counter() - t0, None, "timeout"
@@ -79,9 +82,12 @@ def bench_e2e(n_pairs: int = 2_000_000, include_jax: bool = True,
             if "records analyzed" in line:
                 out["records"] = int(line.split()[-1])
 
+        # the exact engine never touches the TPU; skip any TPU-plugin
+        # interpreter boot (costs ~2s under an axon sitecustomize)
         t, rc, err = _run(
             [sys.executable, "-m", "genrich_tpu", "-t", bam, "-o",
-             "exact.np", "--engine", "exact", "-v"] + FLAGS, d, timeout)
+             "exact.np", "--engine", "exact", "-v"] + FLAGS, d,
+            timeout, extra_env={"PALLAS_AXON_POOL_IPS": ""})
         assert rc == 0, err[-500:]
         out["exact_s"] = round(t, 2)
         ref_np = open(os.path.join(d, "ref.np"), "rb").read()
