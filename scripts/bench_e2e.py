@@ -31,8 +31,9 @@ FLAGS = ["-r", "-j", "-q", "0.05", "-a", "20"]
 
 
 def _bam_path(n_pairs: int) -> str:
-    os.makedirs(CACHE_DIR, exist_ok=True)
-    path = os.path.join(CACHE_DIR, f"atac_e2e_{n_pairs}.bam")
+    cache = os.environ.get("GENRICH_PERF_DIR", CACHE_DIR)
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, f"atac_e2e_{n_pairs}.bam")
     if not os.path.exists(path):
         sys.stderr.write(f"# synthesizing {n_pairs}-pair BAM...\n")
         sys.path.insert(0, os.path.join(REPO, "scripts"))
