@@ -29,16 +29,28 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CACHE_DIR = os.environ.get("GENRICH_PERF_DIR", "/tmp/genrich_perf")
 FLAGS = ["-r", "-j", "-q", "0.05", "-a", "20"]
 
+# hg19-scale genome (2.75 Gbp over 3 chroms): the regime of the
+# reference's sole published benchmark (README.md:459-511, 2.83 Gbp).
+# Genome length is a first-class cost axis — the reference's dense
+# 3 B/bp diff arrays and per-base sweeps are O(genome), our
+# event-based engine O(events) — so benching on a toy genome would
+# hide most of the honest difference.
+HG_CHROMS = (("chr1", 1_100_000_000), ("chr2", 900_000_000),
+             ("chr3", 750_000_000))
 
-def _bam_path(n_pairs: int) -> str:
+
+def _bam_path(n_pairs: int, chroms=None) -> str:
     cache = os.environ.get("GENRICH_PERF_DIR", CACHE_DIR)
     os.makedirs(cache, exist_ok=True)
-    path = os.path.join(cache, f"atac_e2e_{n_pairs}.bam")
+    tag = "hg" if chroms is None else "c%d" % sum(
+        l for _, l in chroms)
+    chroms = HG_CHROMS if chroms is None else chroms
+    path = os.path.join(cache, f"atac_e2e_{tag}_{n_pairs}.bam")
     if not os.path.exists(path):
         sys.stderr.write(f"# synthesizing {n_pairs}-pair BAM...\n")
         sys.path.insert(0, os.path.join(REPO, "scripts"))
         import perf_synth
-        perf_synth.synth_bam(path, n_pairs)
+        perf_synth.synth_bam(path, n_pairs, chroms=chroms)
     return path
 
 
@@ -68,10 +80,12 @@ def _run(cmd, cwd, timeout, extra_env=None) -> tuple:
 
 
 def bench_e2e(n_pairs: int = 2_000_000, include_jax: bool = True,
-              timeout: float = 900.0) -> dict:
-    bam = _bam_path(n_pairs)
+              timeout: float = 900.0, chroms=None) -> dict:
+    bam = _bam_path(n_pairs, chroms)
     ref = _oracle_bin()
-    out = {"n_pairs": n_pairs, "flags": " ".join(FLAGS)}
+    genome = sum(l for _, l in (chroms or HG_CHROMS))
+    out = {"n_pairs": n_pairs, "genome_bp": genome,
+           "flags": " ".join(FLAGS)}
     with tempfile.TemporaryDirectory() as d:
         # -v's counter block is a handful of stderr lines; its timing
         # cost is noise and it carries the record count
