@@ -50,6 +50,8 @@ class ShardedEngine:
     def __init__(self, n_devices: Optional[int] = None,
                  min_tile_len: int = 1 << 16):
         enable_compile_cache()
+        from ..parallel.distributed import init_distributed
+        init_distributed()   # no-op unless JAX_COORDINATOR_ADDRESS set
         import jax
         from ..parallel import mesh as pmesh
 

@@ -4,7 +4,14 @@ The single-controller program in mesh.py scales to multi-host by
 initializing jax.distributed and building the mesh over all global
 devices: the tile axis spans hosts, so intra-host tile traffic rides
 ICI and only the three global collectives (fragment-length psum,
-carry all_gather, q-histogram psum — see mesh.py) cross DCN.
+carry all_gather, and the all_gather of per-shard distinct (p, bp)
+tables for the exact BH — see mesh.py) cross DCN.
+
+The CLI reaches this through ``--engine sharded``: ShardedEngine
+calls init_distributed() at startup, which is a no-op without the
+JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env
+vars and joins the multi-controller mesh with them (see
+tests/test_distributed_2proc.py for the two-process form).
 
 Multi-host hardware is not available in this environment; this module
 is exercised only in its single-process form (jax.distributed with
