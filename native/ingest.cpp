@@ -1246,6 +1246,18 @@ struct Reader {
     }
     return true;
   }
+
+  // zero-copy exact-length read: pointer into the internal buffer,
+  // valid until the next Reader call.  nullptr on EOF/short.
+  const uint8_t* take(size_t n) {
+    while (tail - head < n) {
+      if (n > buf.size()) buf.resize(2 * n);
+      if (!fill()) return nullptr;
+    }
+    const uint8_t* p = (const uint8_t*)buf.data() + head;
+    head += n;
+    return p;
+  }
 };
 
 struct NameMap {
@@ -1478,16 +1490,16 @@ uint64_t read_bam(Context* c, Reader& rd) {
   }
 
   uint64_t count = 0;
-  std::vector<uint8_t> block;
   c->read_name.clear();
   for (;;) {
     eof = false;
     int32_t block_size = read_i32(rd, false, &eof);
     if (eof) break;
     if (block_size < (int32_t)(6 * 4 + 2 * 4)) fail("", ERRBAM);
-    block.resize(block_size);
-    if (!rd.read(block.data(), block_size)) fail("", ERRBAM);
-    const uint8_t* b = block.data();
+    // parse in place from the reader buffer (no per-record copy);
+    // nothing below retains pointers past this iteration
+    const uint8_t* b = rd.take((size_t)block_size);
+    if (!b) fail("", ERRBAM);
     auto rd32 = [&](int off) {
       return (int32_t)(b[off] | (b[off+1] << 8) | (b[off+2] << 16)
                        | ((uint32_t)b[off+3] << 24));
