@@ -154,10 +154,14 @@ def calc_pval_unique(expt: np.ndarray, ctrl: np.ndarray) -> np.ndarray:
     ctrl = np.asarray(ctrl, F32)
     key = (expt.view(np.uint32).astype(np.uint64) << np.uint64(32)) \
         | ctrl.view(np.uint32).astype(np.uint64)
-    uk, inv = np.unique(key, return_inverse=True)
+    # unique without return_inverse (which forces an argsort); the
+    # distinct-pair table is tiny, so searchsorted recovers each
+    # row's pair index far cheaper than inverse construction.
+    uk = np.unique(key)
+    idx = np.searchsorted(uk, key)
     ue = (uk >> np.uint64(32)).astype(np.uint32).view(F32)
     uc = uk.astype(np.uint32).view(F32)
-    return calc_pval(ue, uc)[inv]
+    return calc_pval(ue, uc)[idx]
 
 
 def merge_pileups(expt: Pileup, ctrl: Pileup

@@ -44,19 +44,21 @@ def collect_pvals(pvals: List[Pileup]) -> Tuple[np.ndarray, np.ndarray]:
     l = np.concatenate(ls)
     if len(v) == 0:
         return np.zeros(0, F32), np.zeros(0, np.uint64)
-    # group-by-sorted-runs: one argsort + cumsum (np.unique's
-    # return_inverse + np.add.at scatter costs ~3x more here)
-    order = np.argsort(v, kind="stable")
-    sv = v[order]
-    sl = l[order].astype(np.uint64)
-    first = np.empty(len(sv), bool)
-    first[0] = True
-    np.not_equal(sv[1:], sv[:-1], out=first[1:])
-    starts = np.flatnonzero(first)
-    csum = np.cumsum(sl)
-    grp_last = np.concatenate([starts[1:] - 1, [len(sl) - 1]])
-    ul = np.diff(csum[grp_last], prepend=np.uint64(0))
-    return sv[starts].astype(F32), ul.astype(np.uint64)
+    # group by uint32 bit pattern: for non-negative floats unsigned
+    # bit order == value order, so np.unique runs its fast integer
+    # sort instead of a stable float argsort (~3x cheaper at 1e7
+    # rows).  v + 0.0 canonicalizes any -0.0 to +0.0 first so the
+    # two zero bit patterns can't split one distinct value.
+    bits = (v + F32(0.0)).view(np.uint32)
+    # unique WITHOUT return_inverse (which forces an argsort); the
+    # distinct table is tiny, so searchsorted recovers the group index
+    # of each row against it far cheaper than inverse construction.
+    uk = np.unique(bits)
+    idx = np.searchsorted(uk, bits)
+    # lengths are genome bp: float64 bincount is exact below 2^53
+    ul = np.bincount(idx, weights=l.astype(np.float64),
+                     minlength=len(uk))
+    return uk.view(F32).astype(F32), ul.astype(np.uint64)
 
 
 def qvalues(p_distinct: np.ndarray, p_len: np.ndarray,

@@ -20,7 +20,7 @@ Reference semantics per stage (float32, same tolerances as
 
 On one device this degenerates gracefully (D tiles on one chip); on a
 pod the tile axis spans ICI.  Tests exercise it on a virtual 8-device
-CPU mesh (tests/test_engine_sharded_cli.py).
+CPU mesh (tests/test_engine_jax_cli.py, ENGINES includes "sharded").
 """
 
 from __future__ import annotations

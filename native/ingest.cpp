@@ -615,8 +615,16 @@ void flush_group(Context* c) {
 // "first occurrence wins", Genrich.c:3457-3522).  ~5x faster than
 // node-based unordered_map with tuple keys on the -r hot path.
 struct OAMap {
-  std::vector<uint64_t> k0, k1;
-  std::vector<uint32_t> val;           // UINT32_MAX = empty
+  // One slot = one struct (24 B): a probe touches 1-2 cache lines
+  // instead of the 3 a parallel-array layout costs, and a single
+  // prefetch covers the whole probe.  The dedup loop is memory-bound
+  // (random probes over a table far larger than L2), so slot layout
+  // and prefetch distance, not hashing, set its speed.
+  struct Slot {
+    uint64_t k0, k1;
+    uint32_t val;                      // UINT32_MAX = empty
+  };
+  std::vector<Slot> slot;
   size_t mask = 0, used = 0;
 
   static uint64_t mix(uint64_t a, uint64_t b) {
@@ -628,23 +636,27 @@ struct OAMap {
   void init(size_t expect) {
     size_t cap = 64;
     while (cap < 2 * expect + 16) cap <<= 1;
-    k0.assign(cap, 0); k1.assign(cap, 0);
-    val.assign(cap, UINT32_MAX);
+    slot.assign(cap, Slot{0, 0, UINT32_MAX});
     mask = cap - 1; used = 0;
   }
   void grow() {
     OAMap bigger;
-    bigger.init(val.size());           // doubles (init uses 2x)
-    for (size_t i = 0; i < val.size(); i++)
-      if (val[i] != UINT32_MAX) bigger.put(k0[i], k1[i], val[i]);
+    bigger.init(slot.size());          // doubles (init uses 2x)
+    for (const Slot& s : slot)
+      if (s.val != UINT32_MAX) bigger.put(s.k0, s.k1, s.val);
     *this = std::move(bigger);
   }
+  void prefetch(uint64_t a, uint64_t b) const {
+    if (!slot.empty())
+      __builtin_prefetch(&slot[mix(a, b) & mask]);
+  }
   uint32_t find(uint64_t a, uint64_t b) const {
-    if (val.empty()) return UINT32_MAX;
+    if (slot.empty()) return UINT32_MAX;
     size_t i = mix(a, b) & mask;
     for (;;) {
-      if (val[i] == UINT32_MAX) return UINT32_MAX;
-      if (k0[i] == a && k1[i] == b) return val[i];
+      const Slot& s = slot[i];
+      if (s.val == UINT32_MAX) return UINT32_MAX;
+      if (s.k0 == a && s.k1 == b) return s.val;
       i = (i + 1) & mask;
     }
   }
@@ -652,11 +664,12 @@ struct OAMap {
     if (2 * used >= mask) grow();
     size_t i = mix(a, b) & mask;
     for (;;) {
-      if (val[i] == UINT32_MAX) {
-        k0[i] = a; k1[i] = b; val[i] = v; used++;
+      Slot& s = slot[i];
+      if (s.val == UINT32_MAX) {
+        s.k0 = a; s.k1 = b; s.val = v; used++;
         return;
       }
-      if (k0[i] == a && k1[i] == b) return;
+      if (s.k0 == a && s.k1 == b) return;
       i = (i + 1) & mask;
     }
   }
@@ -701,7 +714,27 @@ void find_dups(Context* c) {
   {  // properly paired
     OAMap table;
     table.init(c->reads_pr.alns.size());
-    for (uint32_t i : sort_order(c->reads_pr)) {
+    // The quality-sorted order is known upfront, so stage the memory
+    // pipeline: meta 16 reads ahead, its aln block 8 ahead, and the
+    // first-aln hash slot 4 ahead.  Processing order (and thus the
+    // keep-first dup semantics, Genrich.c:3457-3522) is unchanged.
+    std::vector<uint32_t> order = sort_order(c->reads_pr);
+    const size_t n_pr = order.size();
+    for (size_t idx = 0; idx < n_pr; idx++) {
+      if (idx + 16 < n_pr)
+        __builtin_prefetch(&c->reads_pr.meta[order[idx + 16]]);
+      if (idx + 8 < n_pr)
+        __builtin_prefetch(c->reads_pr.alns.data()
+                           + c->reads_pr.meta[order[idx + 8]].aln_off);
+      if (idx + 4 < n_pr) {
+        const ReadStore::Meta& fm = c->reads_pr.meta[order[idx + 4]];
+        if (fm.aln_cnt) {
+          const Aln& fa = c->reads_pr.alns[fm.aln_off];
+          table.prefetch(((uint64_t)(uint32_t)fa.chrom << 32)
+                         | fa.pos0, fa.pos1);
+        }
+      }
+      const uint32_t i = order[idx];
       const ReadStore::Meta& m = c->reads_pr.meta[i];
       const Aln* alns = c->reads_pr.alns.data() + m.aln_off;
       const Aln* hit = nullptr;
@@ -760,7 +793,17 @@ void find_dups(Context* c) {
       return ((uint64_t)(uint32_t)a.chrom << 33)
            | ((uint64_t)(a.strand ? 1 : 0) << 32) | pos;
     };
-    for (uint32_t i : sort_order(c->reads_dc)) {
+    std::vector<uint32_t> order = sort_order(c->reads_dc);
+    const size_t n_dc = order.size();
+    for (size_t idx = 0; idx < n_dc; idx++) {
+      if (idx + 16 < n_dc)
+        __builtin_prefetch(&c->reads_dc.meta[order[idx + 16]]);
+      if (idx + 8 < n_dc) {
+        const ReadStore::Meta& fm = c->reads_dc.meta[order[idx + 8]];
+        __builtin_prefetch(c->reads_dc.alns.data() + fm.aln_off);
+        __builtin_prefetch(c->reads_dc.alns.data() + fm.aln2_off);
+      }
+      const uint32_t i = order[idx];
       const ReadStore::Meta& m = c->reads_dc.meta[i];
       const Aln* al1 = c->reads_dc.alns.data() + m.aln_off;
       const Aln* al2 = c->reads_dc.alns.data() + m.aln2_off;
@@ -831,7 +874,24 @@ void find_dups(Context* c) {
   }
 
   {  // singletons
-    for (uint32_t i : sort_order(c->reads_sn)) {
+    std::vector<uint32_t> order = sort_order(c->reads_sn);
+    const size_t n_sn = order.size();
+    for (size_t idx = 0; idx < n_sn; idx++) {
+      if (idx + 16 < n_sn)
+        __builtin_prefetch(&c->reads_sn.meta[order[idx + 16]]);
+      if (idx + 8 < n_sn)
+        __builtin_prefetch(c->reads_sn.alns.data()
+                           + c->reads_sn.meta[order[idx + 8]].aln_off);
+      if (idx + 4 < n_sn) {
+        const ReadStore::Meta& fm = c->reads_sn.meta[order[idx + 4]];
+        if (fm.aln_cnt) {
+          const Aln& fa = c->reads_sn.alns[fm.aln_off];
+          table_sn.prefetch(sn_key(fa.chrom,
+                                   fa.strand ? fa.pos0 : fa.pos1,
+                                   fa.strand), 0);
+        }
+      }
+      const uint32_t i = order[idx];
       const ReadStore::Meta& m = c->reads_sn.meta[i];
       const Aln* alns = c->reads_sn.alns.data() + m.aln_off;
       bool dup = false;
