@@ -189,6 +189,31 @@ def _merge_breaks(entry_pos: np.ndarray, entry_vals: np.ndarray,
     bp_entries = entry_pos[in_range]
     if entry_break_mask is not None:
         bp_entries = entry_pos[in_range & entry_break_mask]
+    if not bed and (entry_break_mask is None
+                    or bool(entry_break_mask.all())):
+        # fast path (no -E): entry positions are already sorted and
+        # distinct, and every break IS an entry, so the value over
+        # the interval ending at bp_entries[i] is the cumulative
+        # after the entry just below it — index arithmetic, no
+        # union1d re-sort and no per-row searchsorted.  f accounts
+        # for a possible entry at position 0 (dropped from the
+        # breaks, but its value still covers the first interval).
+        ends = np.append(bp_entries, chrom_len)
+        n_bp = len(bp_entries)
+        f = 1 if (len(entry_pos) and entry_pos[0] <= 0) else 0
+        vals = np.empty(n_bp + 1, F32)
+        if f:
+            vals[:n_bp] = entry_vals[f - 1:n_bp + f - 1]
+        else:
+            vals[0] = F32(0.0)
+            vals[1:n_bp] = entry_vals[:n_bp - 1]
+        # final interval [last_bp, chrom_len): cumulative after the
+        # last entry strictly below chrom_len
+        below = int(np.searchsorted(entry_pos, chrom_len,
+                                    side="left")) - 1
+        vals[n_bp] = entry_vals[below] if below >= 0 else F32(0.0)
+        excluded = np.zeros(n_bp + 1, bool)
+        return ends, vals, excluded
     bed_pos = np.asarray([b for b in bed if 0 < b < chrom_len], np.int64)
     ends = np.union1d(bp_entries, bed_pos)
     ends = np.append(ends, chrom_len)
