@@ -61,13 +61,20 @@ _SUB_T10 = np.array(    [0, 0, 0, 0, 0, 3, 0, 0, 0, 0, 4], np.int64)
 
 
 class Pileup:
-    """Run-length pileup: parallel end/cov arrays (Genrich.h:173-176)."""
+    """Run-length pileup: parallel end/cov arrays (Genrich.h:173-176).
 
-    __slots__ = ("end", "cov")
+    ``tab`` optionally caches this pileup's distinct-value table
+    (values float32, summed bp lengths uint64, SKIP rows excluded) so
+    genome-wide consumers (BH q-values) can merge tiny per-chrom
+    tables instead of re-grouping millions of RLE rows.
+    """
 
-    def __init__(self, end: np.ndarray, cov: np.ndarray):
+    __slots__ = ("end", "cov", "tab")
+
+    def __init__(self, end: np.ndarray, cov: np.ndarray, tab=None):
         self.end = end    # uint32/int64 interval end coordinates
         self.cov = cov    # float32 values
+        self.tab = tab    # None | (values f32, lengths uint64)
 
     def __len__(self) -> int:
         return len(self.end)

@@ -164,6 +164,36 @@ def calc_pval_unique(expt: np.ndarray, ctrl: np.ndarray) -> np.ndarray:
     return calc_pval(ue, uc)[idx]
 
 
+def calc_pval_unique_tab(ends: np.ndarray, expt: np.ndarray,
+                         ctrl: np.ndarray):
+    """calc_pval_unique plus the pileup's distinct-(p, bp) table.
+
+    Returns (pv, (p_values, bp_lengths)): the per-row p array and, as
+    a byproduct of the distinct-pair evaluation, the summed interval
+    length per distinct pair with SKIP rows dropped — the per-chrom
+    contribution to the genome-wide BH histogram (hashPval,
+    Genrich.c:300-327), computed here for free instead of re-grouping
+    the rows later.  p values in the table may repeat (different
+    (expt, ctrl) pairs can give equal p); consumers merge by value.
+    """
+    from ..utils.cfloat import SKIP
+    expt = np.asarray(expt, F32)
+    ctrl = np.asarray(ctrl, F32)
+    key = (expt.view(np.uint32).astype(np.uint64) << np.uint64(32)) \
+        | ctrl.view(np.uint32).astype(np.uint64)
+    uk = np.unique(key)
+    idx = np.searchsorted(uk, key)
+    ue = (uk >> np.uint64(32)).astype(np.uint32).view(F32)
+    uc = uk.astype(np.uint32).view(F32)
+    up = calc_pval(ue, uc)
+    lens = np.diff(np.asarray(ends, np.int64), prepend=np.int64(0))
+    # float64 bincount is exact below 2^53 (genome bp fits)
+    ul = np.bincount(idx, weights=lens.astype(np.float64),
+                     minlength=len(uk))
+    keep = up != F32(SKIP)
+    return up[idx], (up[keep], ul[keep].astype(np.uint64))
+
+
 def merge_pileups(expt: Pileup, ctrl: Pileup
                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Two-pointer merge of expt/ctrl RLEs (savePval, Genrich.c:1766-1791).

@@ -28,16 +28,22 @@ def collect_pvals(pvals: List[Pileup]) -> Tuple[np.ndarray, np.ndarray]:
     ``pvals`` are the final per-chrom p-value pileups (SKIP excluded).
     Returns (distinct p ascending, total length per p).
     """
+    live = [p for p in pvals if p is not None]
     vs = []
     ls = []
-    for p in pvals:
-        if p is None:
-            continue
-        starts = np.concatenate([[0], p.end[:-1]])
-        lens = (p.end - starts).astype(np.uint64)
-        keep = p.cov != SKIP
-        vs.append(p.cov[keep])
-        ls.append(lens[keep])
+    if live and all(p.tab is not None for p in live):
+        # per-chrom distinct tables were cached at p-value time:
+        # merge thousands of rows instead of re-grouping millions
+        for p in live:
+            vs.append(p.tab[0])
+            ls.append(p.tab[1])
+    else:
+        for p in live:
+            starts = np.concatenate([[0], p.end[:-1]])
+            lens = (p.end - starts).astype(np.uint64)
+            keep = p.cov != SKIP
+            vs.append(p.cov[keep])
+            ls.append(lens[keep])
     if not vs:
         return np.zeros(0, F32), np.zeros(0, np.uint64)
     v = np.concatenate(vs)

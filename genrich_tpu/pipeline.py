@@ -455,8 +455,8 @@ def _save_pval(registry: ChromRegistry, n: int,
             continue
         ends, ev, cv = pvalue.merge_pileups(expt[c.index],
                                             ctrl[c.index])
-        pv = pvalue.calc_pval_unique(ev, cv)
-        lst.append(Pileup(ends, pv))
+        pv, tab = pvalue.calc_pval_unique_tab(ends, ev, cv)
+        lst.append(Pileup(ends, pv, tab=tab))
         if pile_stream is not None:
             starts = np.concatenate([[0], ends[:-1]])
             if isinstance(pile_stream, writers.RowLog) \
