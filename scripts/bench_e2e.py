@@ -88,10 +88,16 @@ def bench_e2e(n_pairs: int = 2_000_000, include_jax: bool = True,
            "flags": " ".join(FLAGS)}
     with tempfile.TemporaryDirectory() as d:
         # -v's counter block is a handful of stderr lines; its timing
-        # cost is noise and it carries the record count
+        # cost is noise and it carries the record count.  Shared-CPU
+        # containers add multi-second jitter between identical runs,
+        # so both contenders get best-of-2 (same treatment, no bias).
         t, rc, err = _run([ref, "-t", bam, "-o", "ref.np", "-v"]
                           + FLAGS, d, timeout)
         assert rc == 0, err[-500:]
+        t2, rc2, _ = _run([ref, "-t", bam, "-o", "ref.np", "-v"]
+                          + FLAGS, d, timeout)
+        if rc2 == 0:
+            t = min(t, t2)
         out["ref_s"] = round(t, 2)
         for line in err.splitlines():
             if "records analyzed" in line:
@@ -99,11 +105,16 @@ def bench_e2e(n_pairs: int = 2_000_000, include_jax: bool = True,
 
         # the exact engine never touches the TPU; skip any TPU-plugin
         # interpreter boot (costs ~2s under an axon sitecustomize)
-        t, rc, err = _run(
-            [sys.executable, "-m", "genrich_tpu", "-t", bam, "-o",
-             "exact.np", "--engine", "exact", "-v"] + FLAGS, d,
-            timeout, extra_env={"PALLAS_AXON_POOL_IPS": ""})
+        exact_cmd = [sys.executable, "-m", "genrich_tpu", "-t", bam,
+                     "-o", "exact.np", "--engine", "exact", "-v"] \
+            + FLAGS
+        t, rc, err = _run(exact_cmd, d, timeout,
+                          extra_env={"PALLAS_AXON_POOL_IPS": ""})
         assert rc == 0, err[-500:]
+        t2, rc2, _ = _run(exact_cmd, d, timeout,
+                          extra_env={"PALLAS_AXON_POOL_IPS": ""})
+        if rc2 == 0:
+            t = min(t, t2)
         out["exact_s"] = round(t, 2)
         ref_np = open(os.path.join(d, "ref.np"), "rb").read()
         out["exact_match"] = \
