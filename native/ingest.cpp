@@ -27,6 +27,7 @@
 #include <unordered_map>
 #include <vector>
 #include <algorithm>
+#include <sys/mman.h>
 #include <zlib.h>
 #include <sys/stat.h>
 
@@ -52,7 +53,8 @@ thread_local IngestError g_err{-1, ""};
 
 // reference error codes used here (errors.py order)
 enum {
-  ERRFILE = 0, ERROPEN = 1, ERRINT = 5, ERRFLOAT = 6, ERRMISM = 14,
+  ERRFILE = 0, ERROPEN = 1, ERRMEM = 4, ERRINT = 5, ERRFLOAT = 6,
+  ERRMISM = 14,
   ERRINFO = 15, ERRSAM = 16, ERRCHROM = 17, ERRHEAD = 18, ERRBAM = 19,
   ERRCHRLEN = 22, ERRPOS = 24, ERRSORT = 25, ERRTYPE = 26, ERRAUX = 27,
   ERRLINEAR = 29, ERRINDEX = 30, ERRISSUE = 33, ERRGZIP = 42,
@@ -624,8 +626,25 @@ struct OAMap {
     uint64_t k0, k1;
     uint32_t val;                      // UINT32_MAX = empty
   };
-  std::vector<Slot> slot;
-  size_t mask = 0, used = 0;
+  // Hugepage-backed buffer: at production scale the table spans
+  // hundreds of MB, so random probes through 4 KB pages are
+  // TLB-miss-bound; MADV_HUGEPAGE collapses it to a few hundred
+  // 2 MB pages (host THP is in madvise mode).
+  Slot* slot = nullptr;
+  size_t cap = 0, mask = 0, used = 0;
+
+  OAMap() = default;
+  OAMap(const OAMap&) = delete;
+  OAMap& operator=(const OAMap&) = delete;
+  OAMap& operator=(OAMap&& o) {
+    if (this != &o) {
+      if (slot) free(slot);
+      slot = o.slot; cap = o.cap; mask = o.mask; used = o.used;
+      o.slot = nullptr; o.cap = 0; o.mask = 0; o.used = 0;
+    }
+    return *this;
+  }
+  ~OAMap() { if (slot) free(slot); }
 
   static uint64_t mix(uint64_t a, uint64_t b) {
     uint64_t x = a ^ (b * 0x9E3779B97F4A7C15ull);
@@ -634,24 +653,34 @@ struct OAMap {
     return x ^ (x >> 31);
   }
   void init(size_t expect) {
-    size_t cap = 64;
-    while (cap < 2 * expect + 16) cap <<= 1;
-    slot.assign(cap, Slot{0, 0, UINT32_MAX});
-    mask = cap - 1; used = 0;
+    size_t n = 64;
+    while (n < 2 * expect + 16) n <<= 1;
+    if (slot) free(slot);
+    const size_t align = 2u << 20;
+    size_t bytes = (n * sizeof(Slot) + align - 1) & ~(align - 1);
+    slot = (Slot*)aligned_alloc(align, bytes);
+    if (slot) madvise(slot, bytes, MADV_HUGEPAGE);
+    else slot = (Slot*)malloc(n * sizeof(Slot));
+    if (!slot) fail("dedup table", ERRMEM);
+    // 0xFF fill: val == UINT32_MAX everywhere (k0/k1 are never read
+    // for an empty slot), one streaming pass instead of per-slot
+    memset(slot, 0xFF, n * sizeof(Slot));
+    cap = n; mask = n - 1; used = 0;
   }
   void grow() {
     OAMap bigger;
-    bigger.init(slot.size());          // doubles (init uses 2x)
-    for (const Slot& s : slot)
-      if (s.val != UINT32_MAX) bigger.put(s.k0, s.k1, s.val);
+    bigger.init(cap);                  // doubles (init uses 2x)
+    for (size_t i = 0; i < cap; i++)
+      if (slot[i].val != UINT32_MAX)
+        bigger.put(slot[i].k0, slot[i].k1, slot[i].val);
     *this = std::move(bigger);
   }
   void prefetch(uint64_t a, uint64_t b) const {
-    if (!slot.empty())
+    if (slot)
       __builtin_prefetch(&slot[mix(a, b) & mask]);
   }
   uint32_t find(uint64_t a, uint64_t b) const {
-    if (slot.empty()) return UINT32_MAX;
+    if (!slot) return UINT32_MAX;
     size_t i = mix(a, b) & mask;
     for (;;) {
       const Slot& s = slot[i];
@@ -690,6 +719,9 @@ std::vector<uint32_t> sort_order(const ReadStore& reads) {
 }
 
 void find_dups(Context* c) {
+  const bool fd_prof = getenv("GENRICH_NATIVE_PROF") != nullptr;
+  double t_pair_s = 0.0;
+  auto fd_t0 = std::chrono::steady_clock::now();
   bool dups_verb = c->dups_out || c->dups_out_f;
   bool seed_singles = c->opt.single_opt && c->reads_sn.size() != 0;
   // singleton table: (chrom, pos, strand) -> first occurrence, value
@@ -723,9 +755,11 @@ void find_dups(Context* c) {
     for (size_t idx = 0; idx < n_pr; idx++) {
       if (idx + 16 < n_pr)
         __builtin_prefetch(&c->reads_pr.meta[order[idx + 16]]);
-      if (idx + 8 < n_pr)
-        __builtin_prefetch(c->reads_pr.alns.data()
-                           + c->reads_pr.meta[order[idx + 8]].aln_off);
+      if (idx + 8 < n_pr) {
+        const ReadStore::Meta& fm = c->reads_pr.meta[order[idx + 8]];
+        __builtin_prefetch(c->reads_pr.alns.data() + fm.aln_off);
+        __builtin_prefetch(c->reads_pr.names.data() + fm.name_off);
+      }
       if (idx + 4 < n_pr) {
         const ReadStore::Meta& fm = c->reads_pr.meta[order[idx + 4]];
         if (fm.aln_cnt) {
@@ -764,10 +798,24 @@ void find_dups(Context* c) {
           table_sn.put(sn_key(a.chrom, a.pos1, false), 0, i | TAG_PR);
         }
       }
-      c->ctr.paired_pr += process_pair(c, c->reads_pr.name(m), alns,
-                                       m.aln_cnt, m.score);
+      if (fd_prof) {
+        auto p0 = std::chrono::steady_clock::now();
+        c->ctr.paired_pr += process_pair(c, c->reads_pr.name(m), alns,
+                                         m.aln_cnt, m.score);
+        t_pair_s += std::chrono::duration<double>(
+            std::chrono::steady_clock::now() - p0).count();
+      } else {
+        c->ctr.paired_pr += process_pair(c, c->reads_pr.name(m), alns,
+                                         m.aln_cnt, m.score);
+      }
     }
   }
+  if (fd_prof)
+    fprintf(stderr, "[native] find_dups(pr): %.3fs of which "
+            "process_pair: %.3fs (%zu reads)\n",
+            std::chrono::duration<double>(
+                std::chrono::steady_clock::now() - fd_t0).count(),
+            t_pair_s, c->reads_pr.size());
 
   if (!c->opt.single_opt) return;
 
@@ -879,9 +927,11 @@ void find_dups(Context* c) {
     for (size_t idx = 0; idx < n_sn; idx++) {
       if (idx + 16 < n_sn)
         __builtin_prefetch(&c->reads_sn.meta[order[idx + 16]]);
-      if (idx + 8 < n_sn)
-        __builtin_prefetch(c->reads_sn.alns.data()
-                           + c->reads_sn.meta[order[idx + 8]].aln_off);
+      if (idx + 8 < n_sn) {
+        const ReadStore::Meta& fm = c->reads_sn.meta[order[idx + 8]];
+        __builtin_prefetch(c->reads_sn.alns.data() + fm.aln_off);
+        __builtin_prefetch(c->reads_sn.names.data() + fm.name_off);
+      }
       if (idx + 4 < n_sn) {
         const ReadStore::Meta& fm = c->reads_sn.meta[order[idx + 4]];
         if (fm.aln_cnt) {
