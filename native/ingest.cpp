@@ -131,6 +131,26 @@ struct ReadStore {
   }
 };
 
+// Lazy read-name handle for the interval-generation call chain: the
+// name is only ever printed on warning / -b / -R / error paths, so
+// the hot path must not pay the random name-arena load (the dedup
+// loops visit reads in quality order, far from file order) nor a
+// std::string copy per read.
+struct NameRef {
+  const char* p = nullptr;             // direct c-string, or
+  const ReadStore* st = nullptr;       // lazy (arena, offset)
+  uint32_t off = 0;
+
+  NameRef(const char* s) : p(s) {}
+  NameRef(const std::string& s) : p(s.c_str()) {}
+  NameRef(const ReadStore& store, uint32_t name_off)
+      : st(&store), off(name_off) {}
+  const char* c_str() const {
+    return p ? p : st->names.data() + off;
+  }
+  std::string str() const { return std::string(c_str()); }
+};
+
 struct XBedEntry { std::string name; uint32_t p0, p1; };
 
 struct Context {
@@ -234,7 +254,7 @@ int save_chrom(Context* c, const std::string& name, uint32_t len) {
 // ---- interval generation (saveInterval etc.) ------------------------
 
 uint32_t save_interval(Context* c, int ci, int64_t start, int64_t end,
-                       const std::string& qname, uint8_t count) {
+                       const NameRef& qname, uint8_t count) {
   Chrom& ch = c->chroms[ci];
   if (start < 0) {
     if (c->opt.verbose) {
@@ -246,7 +266,7 @@ uint32_t save_interval(Context* c, int ci, int64_t start, int64_t end,
     start = 0;
   }
   if (start >= (int64_t)ch.len)
-    fail("Read " + qname + ", ref. " + ch.name, ERRPOS);
+    fail("Read " + qname.str() + ", ref. " + ch.name, ERRPOS);
   if (end > (int64_t)ch.len) {
     if (c->opt.verbose) {
       if (c->ctr.err_count < (uint64_t)MAX_ALNS)
@@ -269,7 +289,7 @@ uint32_t save_interval(Context* c, int ci, int64_t start, int64_t end,
 }
 
 uint32_t save_frag_atac(Context* c, int ci, uint32_t start,
-                        uint32_t end, const std::string& q,
+                        uint32_t end, const NameRef& q,
                         uint8_t count) {
   if (c->opt.atac_adj) {
     start = start + 5u;
@@ -286,7 +306,7 @@ uint32_t save_frag_atac(Context* c, int ci, uint32_t start,
                        (int64_t)(uint32_t)(end + len5), q, count);
 }
 
-uint32_t save_fragment(Context* c, const std::string& q, const Aln& a,
+uint32_t save_fragment(Context* c, const NameRef& q, const Aln& a,
                        uint8_t count) {
   uint32_t start = a.pos0, end = a.pos1;
   if (start > end) std::swap(start, end);
@@ -295,7 +315,7 @@ uint32_t save_fragment(Context* c, const std::string& q, const Aln& a,
   return save_interval(c, a.chrom, start, end, q, count);
 }
 
-uint32_t save_unpair(Context* c, const std::string& q, const Aln& a0,
+uint32_t save_unpair(Context* c, const NameRef& q, const Aln& a0,
                      uint8_t count, bool extend_opt, int32_t extend) {
   Aln a = a0;
   if (extend_opt) {
@@ -343,7 +363,7 @@ void subsample(Context* c, const Aln* alns, size_t n_alns,
   *score = arr[*count - 1];
 }
 
-int process_pair(Context* c, const std::string& q, const Aln* alns,
+int process_pair(Context* c, const NameRef& q, const Aln* alns,
                  size_t n_alns, float score) {
   if (score != NOSCORE) score = score - c->opt.as_diff;
   auto valid = [&](const Aln& a) {
@@ -370,13 +390,13 @@ int process_pair(Context* c, const std::string& q, const Aln* alns,
   }
   if (saved != count)
     fail("Saved " + std::to_string(saved) + " alignments for read "
-         + q + "; should have been " + std::to_string(count),
+         + q.str() + "; should have been " + std::to_string(count),
          ERRISSUE);
   c->ctr.total_len += (double)frag_len / count;
   return 1;
 }
 
-int process_single(Context* c, const std::string& q, const Aln* alns,
+int process_single(Context* c, const NameRef& q, const Aln* alns,
                    size_t n_alns, bool extend_opt, int32_t extend,
                    bool avg_ext, float score, bool first) {
   if (score != NOSCORE) score = score - c->opt.as_diff;
@@ -398,7 +418,7 @@ int process_single(Context* c, const std::string& q, const Aln* alns,
     const Aln& a = alns[k];
     if (valid2(a)) {
       if (avg_ext)
-        c->unpair.push_back({q, a, count});
+        c->unpair.push_back({q.str(), a, count});
       else
         save_unpair(c, q, a, count, extend_opt, extend);
       if (++saved == count) break;
@@ -406,7 +426,7 @@ int process_single(Context* c, const std::string& q, const Aln* alns,
   }
   if (saved != count)
     fail("Saved " + std::to_string(saved) + " alignments for read "
-         + q + "; should have been " + std::to_string(count),
+         + q.str() + "; should have been " + std::to_string(count),
          ERRISSUE);
   return 1;
 }
@@ -656,15 +676,18 @@ struct OAMap {
     size_t n = 64;
     while (n < 2 * expect + 16) n <<= 1;
     if (slot) free(slot);
+    size_t raw = n * sizeof(Slot);
     const size_t align = 2u << 20;
-    size_t bytes = (n * sizeof(Slot) + align - 1) & ~(align - 1);
-    slot = (Slot*)aligned_alloc(align, bytes);
-    if (slot) madvise(slot, bytes, MADV_HUGEPAGE);
-    else slot = (Slot*)malloc(n * sizeof(Slot));
+    if (raw >= 2 * align) {            // hugepages only when it pays
+      size_t bytes = (raw + align - 1) & ~(align - 1);
+      slot = (Slot*)aligned_alloc(align, bytes);
+      if (slot) madvise(slot, bytes, MADV_HUGEPAGE);
+    }
+    if (!slot) slot = (Slot*)malloc(raw);
     if (!slot) fail("dedup table", ERRMEM);
     // 0xFF fill: val == UINT32_MAX everywhere (k0/k1 are never read
     // for an empty slot), one streaming pass instead of per-slot
-    memset(slot, 0xFF, n * sizeof(Slot));
+    memset(slot, 0xFF, raw);
     cap = n; mask = n - 1; used = 0;
   }
   void grow() {
@@ -704,6 +727,91 @@ struct OAMap {
   }
 };
 
+// 64-bit-key variant used per chromosome for the proper-pair table:
+// the pair key (5'pos0, 5'pos1) packs exactly into one u64 once the
+// chromosome picks the table, and a 16 B slot never straddles a
+// cache line (a 24 B slot does for a third of probes).
+struct OAMap64 {
+  struct Slot {
+    uint64_t k;
+    uint32_t val;                      // UINT32_MAX = empty
+  };
+  Slot* slot = nullptr;
+  size_t cap = 0, mask = 0, used = 0;
+
+  OAMap64() = default;
+  OAMap64(const OAMap64&) = delete;
+  OAMap64& operator=(const OAMap64&) = delete;
+  OAMap64(OAMap64&& o) { *this = std::move(o); }
+  OAMap64& operator=(OAMap64&& o) {
+    if (this != &o) {
+      if (slot) free(slot);
+      slot = o.slot; cap = o.cap; mask = o.mask; used = o.used;
+      o.slot = nullptr; o.cap = 0; o.mask = 0; o.used = 0;
+    }
+    return *this;
+  }
+  ~OAMap64() { if (slot) free(slot); }
+
+  static uint64_t mix(uint64_t a) {
+    uint64_t x = a * 0x9E3779B97F4A7C15ull;
+    x ^= x >> 30; x *= 0xBF58476D1CE4E5B9ull;
+    x ^= x >> 27; x *= 0x94D049BB133111EBull;
+    return x ^ (x >> 31);
+  }
+  void init(size_t expect) {
+    size_t n = 64;
+    while (n < 2 * expect + 16) n <<= 1;
+    if (slot) free(slot);
+    size_t raw = n * sizeof(Slot);
+    const size_t align = 2u << 20;
+    if (raw >= 2 * align) {            // hugepages only when it pays
+      size_t bytes = (raw + align - 1) & ~(align - 1);
+      slot = (Slot*)aligned_alloc(align, bytes);
+      if (slot) madvise(slot, bytes, MADV_HUGEPAGE);
+    }
+    if (!slot) slot = (Slot*)malloc(raw);
+    if (!slot) fail("dedup table", ERRMEM);
+    memset(slot, 0xFF, raw);
+    cap = n; mask = n - 1; used = 0;
+  }
+  void grow() {
+    OAMap64 bigger;
+    bigger.init(cap);
+    for (size_t i = 0; i < cap; i++)
+      if (slot[i].val != UINT32_MAX)
+        bigger.put(slot[i].k, slot[i].val);
+    *this = std::move(bigger);
+  }
+  void prefetch(uint64_t k) const {
+    if (slot)
+      __builtin_prefetch(&slot[mix(k) & mask]);
+  }
+  uint32_t find(uint64_t k) const {
+    if (!slot) return UINT32_MAX;
+    size_t i = mix(k) & mask;
+    for (;;) {
+      const Slot& s = slot[i];
+      if (s.val == UINT32_MAX) return UINT32_MAX;
+      if (s.k == k) return s.val;
+      i = (i + 1) & mask;
+    }
+  }
+  void put(uint64_t k, uint32_t v) {   // keep-first
+    if (2 * used >= mask) grow();
+    size_t i = mix(k) & mask;
+    for (;;) {
+      Slot& s = slot[i];
+      if (s.val == UINT32_MAX) {
+        s.k = k; s.val = v; used++;
+        return;
+      }
+      if (s.k == k) return;
+      i = (i + 1) & mask;
+    }
+  }
+};
+
 std::vector<uint32_t> sort_order(const ReadStore& reads) {
   // descending by summed quality, ties in file order: one radix-
   // friendly u64 sort on ((0xFFFF - qual) << 32 | index), identical
@@ -726,7 +834,7 @@ void find_dups(Context* c) {
   bool seed_singles = c->opt.single_opt && c->reads_sn.size() != 0;
   // singleton table: (chrom, pos, strand) -> first occurrence, value
   // tagged with the store it came from (pr/dc/sn) for -R naming
-  OAMap table_sn;
+  OAMap64 table_sn;
   constexpr uint32_t TAG_PR = 0u << 30, TAG_DC = 1u << 30,
                      TAG_SN = 2u << 30, TAG_MASK = 3u << 30;
   if (seed_singles)
@@ -743,9 +851,17 @@ void find_dups(Context* c) {
     return st.name(st.meta[v & ~TAG_MASK]);
   };
 
-  {  // properly paired
-    OAMap table;
-    table.init(c->reads_pr.alns.size());
+  {  // properly paired: one 64-bit-key table per chromosome
+    std::vector<OAMap64> tables(c->chroms.size());
+    {
+      std::vector<uint32_t> cnt(c->chroms.size(), 0);
+      for (const Aln& a : c->reads_pr.alns) cnt[(uint32_t)a.chrom]++;
+      for (size_t ci = 0; ci < tables.size(); ci++)
+        if (cnt[ci]) tables[ci].init(cnt[ci]);
+    }
+    auto pr_key = [](const Aln& a) {
+      return ((uint64_t)a.pos0 << 32) | a.pos1;
+    };
     // The quality-sorted order is known upfront, so stage the memory
     // pipeline: meta 16 reads ahead, its aln block 8 ahead, and the
     // first-aln hash slot 4 ahead.  Processing order (and thus the
@@ -755,17 +871,14 @@ void find_dups(Context* c) {
     for (size_t idx = 0; idx < n_pr; idx++) {
       if (idx + 16 < n_pr)
         __builtin_prefetch(&c->reads_pr.meta[order[idx + 16]]);
-      if (idx + 8 < n_pr) {
-        const ReadStore::Meta& fm = c->reads_pr.meta[order[idx + 8]];
-        __builtin_prefetch(c->reads_pr.alns.data() + fm.aln_off);
-        __builtin_prefetch(c->reads_pr.names.data() + fm.name_off);
-      }
+      if (idx + 8 < n_pr)
+        __builtin_prefetch(c->reads_pr.alns.data()
+                           + c->reads_pr.meta[order[idx + 8]].aln_off);
       if (idx + 4 < n_pr) {
         const ReadStore::Meta& fm = c->reads_pr.meta[order[idx + 4]];
         if (fm.aln_cnt) {
           const Aln& fa = c->reads_pr.alns[fm.aln_off];
-          table.prefetch(((uint64_t)(uint32_t)fa.chrom << 32)
-                         | fa.pos0, fa.pos1);
+          tables[fa.chrom].prefetch(pr_key(fa));
         }
       }
       const uint32_t i = order[idx];
@@ -775,8 +888,7 @@ void find_dups(Context* c) {
       uint32_t match = UINT32_MAX;
       for (uint16_t k = 0; k < m.aln_cnt; k++) {
         const Aln& a = alns[k];
-        uint32_t v = table.find(((uint64_t)(uint32_t)a.chrom << 32)
-                                | a.pos0, a.pos1);
+        uint32_t v = tables[a.chrom].find(pr_key(a));
         if (v != UINT32_MAX) { hit = &a; match = v; break; }
       }
       c->ctr.count_pr++;
@@ -791,22 +903,23 @@ void find_dups(Context* c) {
       }
       for (uint16_t k = 0; k < m.aln_cnt; k++) {
         const Aln& a = alns[k];
-        table.put(((uint64_t)(uint32_t)a.chrom << 32) | a.pos0,
-                  a.pos1, i);
+        tables[a.chrom].put(pr_key(a), i);
         if (seed_singles) {
-          table_sn.put(sn_key(a.chrom, a.pos0, true), 0, i | TAG_PR);
-          table_sn.put(sn_key(a.chrom, a.pos1, false), 0, i | TAG_PR);
+          table_sn.put(sn_key(a.chrom, a.pos0, true), i | TAG_PR);
+          table_sn.put(sn_key(a.chrom, a.pos1, false), i | TAG_PR);
         }
       }
       if (fd_prof) {
         auto p0 = std::chrono::steady_clock::now();
-        c->ctr.paired_pr += process_pair(c, c->reads_pr.name(m), alns,
-                                         m.aln_cnt, m.score);
+        c->ctr.paired_pr += process_pair(
+            c, NameRef(c->reads_pr, m.name_off), alns,
+            m.aln_cnt, m.score);
         t_pair_s += std::chrono::duration<double>(
             std::chrono::steady_clock::now() - p0).count();
       } else {
-        c->ctr.paired_pr += process_pair(c, c->reads_pr.name(m), alns,
-                                         m.aln_cnt, m.score);
+        c->ctr.paired_pr += process_pair(
+            c, NameRef(c->reads_pr, m.name_off), alns,
+            m.aln_cnt, m.score);
       }
     }
   }
@@ -903,21 +1016,20 @@ void find_dups(Context* c) {
           table.put(dc_key(a, pos), dc_key(b, pos1), i);
           if (seed_singles) {
             if (j == 0)
-              table_sn.put(sn_key(a.chrom, pos, a.strand), 0,
+              table_sn.put(sn_key(a.chrom, pos, a.strand),
                            i | TAG_DC);
             if (k == 0)
-              table_sn.put(sn_key(b.chrom, pos1, b.strand), 0,
+              table_sn.put(sn_key(b.chrom, pos1, b.strand),
                            i | TAG_DC);
           }
         }
       }
-      c->ctr.single_pr += process_single(c, c->reads_dc.name(m), al1,
-                                         m.aln_cnt, extend_opt,
-                                         extend, false, m.score, true);
-      c->ctr.single_pr += process_single(c, c->reads_dc.name(m), al2,
-                                         m.aln2_cnt, extend_opt,
-                                         extend, false, m.score_r2,
-                                         false);
+      c->ctr.single_pr += process_single(
+          c, NameRef(c->reads_dc, m.name_off), al1, m.aln_cnt,
+          extend_opt, extend, false, m.score, true);
+      c->ctr.single_pr += process_single(
+          c, NameRef(c->reads_dc, m.name_off), al2, m.aln2_cnt,
+          extend_opt, extend, false, m.score_r2, false);
     }
   }
 
@@ -927,18 +1039,16 @@ void find_dups(Context* c) {
     for (size_t idx = 0; idx < n_sn; idx++) {
       if (idx + 16 < n_sn)
         __builtin_prefetch(&c->reads_sn.meta[order[idx + 16]]);
-      if (idx + 8 < n_sn) {
-        const ReadStore::Meta& fm = c->reads_sn.meta[order[idx + 8]];
-        __builtin_prefetch(c->reads_sn.alns.data() + fm.aln_off);
-        __builtin_prefetch(c->reads_sn.names.data() + fm.name_off);
-      }
+      if (idx + 8 < n_sn)
+        __builtin_prefetch(c->reads_sn.alns.data()
+                           + c->reads_sn.meta[order[idx + 8]].aln_off);
       if (idx + 4 < n_sn) {
         const ReadStore::Meta& fm = c->reads_sn.meta[order[idx + 4]];
         if (fm.aln_cnt) {
           const Aln& fa = c->reads_sn.alns[fm.aln_off];
           table_sn.prefetch(sn_key(fa.chrom,
                                    fa.strand ? fa.pos0 : fa.pos1,
-                                   fa.strand), 0);
+                                   fa.strand));
         }
       }
       const uint32_t i = order[idx];
@@ -948,7 +1058,7 @@ void find_dups(Context* c) {
       for (uint16_t k = 0; k < m.aln_cnt; k++) {
         const Aln& a = alns[k];
         uint32_t pos = a.strand ? a.pos0 : a.pos1;
-        uint32_t v = table_sn.find(sn_key(a.chrom, pos, a.strand), 0);
+        uint32_t v = table_sn.find(sn_key(a.chrom, pos, a.strand));
         if (v != UINT32_MAX) {
           dup = true;
           if (dups_verb)
@@ -964,12 +1074,11 @@ void find_dups(Context* c) {
       for (uint16_t k = 0; k < m.aln_cnt; k++) {
         const Aln& a = alns[k];
         uint32_t pos = a.strand ? a.pos0 : a.pos1;
-        table_sn.put(sn_key(a.chrom, pos, a.strand), 0, i | TAG_SN);
+        table_sn.put(sn_key(a.chrom, pos, a.strand), i | TAG_SN);
       }
-      c->ctr.single_pr += process_single(c, c->reads_sn.name(m), alns,
-                                         m.aln_cnt, extend_opt,
-                                         extend, false, m.score,
-                                         m.first);
+      c->ctr.single_pr += process_single(
+          c, NameRef(c->reads_sn, m.name_off), alns, m.aln_cnt,
+          extend_opt, extend, false, m.score, m.first);
     }
   }
 }
