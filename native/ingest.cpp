@@ -813,16 +813,23 @@ struct OAMap64 {
 };
 
 std::vector<uint32_t> sort_order(const ReadStore& reads) {
-  // descending by summed quality, ties in file order: one radix-
-  // friendly u64 sort on ((0xFFFF - qual) << 32 | index), identical
+  // descending by summed quality, ties in file order — identical
   // order to the reference's stable johnSort (Genrich.c:3274-3354).
-  std::vector<uint64_t> keys(reads.size());
-  for (uint32_t i = 0; i < keys.size(); i++)
-    keys[i] = ((uint64_t)(0xFFFFu - reads.meta[i].qual) << 32) | i;
-  std::sort(keys.begin(), keys.end());
-  std::vector<uint32_t> order(keys.size());
-  for (size_t i = 0; i < keys.size(); i++)
-    order[i] = (uint32_t)keys[i];
+  // The key is only 16 bits, so one stable counting-sort pass beats
+  // a comparison sort of (qual << 32 | index) u64s ~10x.
+  const size_t n = reads.size();
+  std::vector<uint32_t> cnt(1 << 16, 0);
+  for (size_t i = 0; i < n; i++)
+    cnt[0xFFFFu - reads.meta[i].qual]++;
+  uint32_t run = 0;
+  for (size_t q = 0; q < cnt.size(); q++) {
+    uint32_t c = cnt[q];
+    cnt[q] = run;
+    run += c;
+  }
+  std::vector<uint32_t> order(n);
+  for (size_t i = 0; i < n; i++)
+    order[cnt[0xFFFFu - reads.meta[i].qual]++] = (uint32_t)i;
   return order;
 }
 
