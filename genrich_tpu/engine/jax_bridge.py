@@ -378,23 +378,15 @@ class JaxEngine:
                             jnp.zeros(1, jnp.float32))
             self._qtable_host = (np.zeros(0, F32), np.zeros(0, F32))
             return False
-        p_all = np.concatenate(ps)
-        w_all = np.concatenate(ws)
-        uv, inv = np.unique(p_all, return_inverse=True)
-        ul = np.zeros(len(uv), np.uint64)
-        np.add.at(ul, inv, w_all)
-        qv = qvalue.qvalues(uv.astype(F32), ul, genome_len)
-        # fixed floor so the peaks program's table shape is known to
-        # prepare()'s prewarm (distinct fraction-quantized p-values
+        # fixed floor (lo) so the peaks program's table shape is known
+        # to prepare()'s prewarm (distinct fraction-quantized p-values
         # rarely exceed a few thousand)
-        size = _pad_pow2(len(uv), lo=1 << 13)
-        tab_p = np.full(size, np.inf, F32)
-        tab_q = np.zeros(size, F32)
-        tab_p[:len(uv)] = uv
-        tab_q[:len(uv)] = qv
+        uv, qv, tab_p, tab_q, _, all_one = \
+            qvalue.merge_distinct_tables(ps, ws, genome_len,
+                                         lo=1 << 13)
         self._qtable = (jnp.asarray(tab_p), jnp.asarray(tab_q))
-        self._qtable_host = (uv.astype(F32), qv)
-        return qvalue.all_qvalues_one(qv)
+        self._qtable_host = (uv, qv)
+        return all_one
 
     # --- stage 4: peaks (device) ----------------------------------------
 

@@ -196,8 +196,18 @@ def _merge_breaks(entry_pos: np.ndarray, entry_vals: np.ndarray,
     bp_entries = entry_pos[in_range]
     if entry_break_mask is not None:
         bp_entries = entry_pos[in_range & entry_break_mask]
-    if not bed and (entry_break_mask is None
-                    or bool(entry_break_mask.all())):
+    # The fast path's index arithmetic assumes the ingest invariants:
+    # entry positions sorted/distinct/clamped to [0, chrom_len], so at
+    # most one entry <= 0 and at most one >= chrom_len.  Guard with
+    # cheap edge counts (a producer emitting several out-of-range
+    # entries would otherwise be silently mis-indexed) and fall back
+    # to the general union1d/searchsorted path when they fail.
+    _n_low = int((entry_pos <= 0).sum())
+    _f = 1 if _n_low else 0
+    _invariants_ok = (_n_low <= 1
+                      and int((entry_pos >= chrom_len).sum()) <= 1)
+    if not bed and _invariants_ok and (entry_break_mask is None
+                                       or bool(entry_break_mask.all())):
         # fast path (no -E): entry positions are already sorted and
         # distinct, and every break IS an entry, so the value over
         # the interval ending at bp_entries[i] is the cumulative
@@ -207,7 +217,7 @@ def _merge_breaks(entry_pos: np.ndarray, entry_vals: np.ndarray,
         # breaks, but its value still covers the first interval).
         ends = np.append(bp_entries, chrom_len)
         n_bp = len(bp_entries)
-        f = 1 if (len(entry_pos) and entry_pos[0] <= 0) else 0
+        f = _f
         vals = np.empty(n_bp + 1, F32)
         if f:
             vals[:n_bp] = entry_vals[f - 1:n_bp + f - 1]

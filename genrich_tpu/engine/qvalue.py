@@ -54,7 +54,14 @@ def collect_pvals(pvals: List[Pileup]) -> Tuple[np.ndarray, np.ndarray]:
     # bit order == value order, so np.unique runs its fast integer
     # sort instead of a stable float argsort (~3x cheaper at 1e7
     # rows).  v + 0.0 canonicalizes any -0.0 to +0.0 first so the
-    # two zero bit patterns can't split one distinct value.
+    # two zero bit patterns can't split one distinct value.  The bit
+    # trick is order-preserving ONLY for non-negative floats; SKIP is
+    # filtered above and p = -log10 >= 0, so a negative value here
+    # means a broken producer — fail loudly rather than mis-sort BH.
+    if v.min() < F32(0.0):
+        raise AssertionError(
+            f"negative -log10 p ({float(v.min())}) reached "
+            f"collect_pvals; bit-pattern grouping requires >= 0")
     bits = (v + F32(0.0)).view(np.uint32)
     # unique WITHOUT return_inverse (which forces an argsort); the
     # distinct table is tiny, so searchsorted recovers the group index
@@ -83,6 +90,42 @@ def qvalues(p_distinct: np.ndarray, p_len: np.ndarray,
     # reverse sweep with min(prev q) then max(0): a reverse cummin
     q = np.minimum.accumulate(raw[::-1])[::-1]
     return np.maximum(q, F32(0.0)).astype(F32)
+
+
+def merge_distinct_tables(ps: List[np.ndarray], ws: List[np.ndarray],
+                          genome_len: int, lo: int = 1 << 8):
+    """Merge per-chrom/per-shard distinct (p, bp) tables into one
+    genome-wide table and run the exact BH sweep.
+
+    ``ps``/``ws`` are parallel lists of float32 p-values and uint64 bp
+    lengths (values may repeat across lists).  Returns
+    ``(uv, qv, tab_p, tab_q, total_bp, all_one)``: the ascending
+    distinct p-values, their q-values, the same padded to a power of
+    two (>= ``lo``) with +inf / 0 (the fixed-shape device lookup
+    table), the summed bp, and the all-q-values-one warning flag.
+    Shared by the device engines (jax/sharded bridges) and the mesh's
+    ``exact_q_table`` — one merge, one sweep, everywhere
+    (computeQval, Genrich.c:352-401).
+    """
+    if not ps:
+        return (np.zeros(0, F32), np.zeros(0, F32),
+                np.full(max(lo, 1), np.inf, F32),
+                np.zeros(max(lo, 1), F32), 0, False)
+    p_all = np.concatenate(ps)
+    w_all = np.concatenate(ws)
+    uv, inv = np.unique(p_all, return_inverse=True)
+    ul = np.zeros(len(uv), np.uint64)
+    np.add.at(ul, inv, w_all.astype(np.uint64))
+    qv = qvalues(uv.astype(F32), ul, genome_len)
+    size = lo
+    while size < len(uv):
+        size <<= 1
+    tab_p = np.full(size, np.inf, F32)
+    tab_q = np.zeros(size, F32)
+    tab_p[:len(uv)] = uv
+    tab_q[:len(uv)] = qv
+    return (uv.astype(F32), qv, tab_p, tab_q, int(ul.sum()),
+            all_qvalues_one(qv))
 
 
 def qval_pileup(pval: Pileup, p_distinct: np.ndarray,

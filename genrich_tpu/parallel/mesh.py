@@ -338,18 +338,9 @@ def exact_q_table(pv_gathered, w_gathered, d_gathered, k: int,
     if not ps:
         return (np.full(1, np.inf, np.float32),
                 np.zeros(1, np.float32), 0, False)
-    p_all = np.concatenate(ps)
-    w_all = np.concatenate(ws)
-    uv, inv = np.unique(p_all, return_inverse=True)
-    ul = np.zeros(len(uv), np.uint64)
-    np.add.at(ul, inv, w_all)
-    qv = qvalue.qvalues(uv.astype(np.float32), ul, genome_len)
-    size = 1 << max(8, int(np.ceil(np.log2(len(uv)))))
-    tab_p = np.full(size, np.inf, np.float32)
-    tab_q = np.zeros(size, np.float32)
-    tab_p[:len(uv)] = uv
-    tab_q[:len(uv)] = qv
-    return tab_p, tab_q, int(ul.sum()), qvalue.all_qvalues_one(qv)
+    _, _, tab_p, tab_q, total_bp, all_one = \
+        qvalue.merge_distinct_tables(ps, ws, genome_len, lo=1 << 8)
+    return tab_p, tab_q, total_bp, all_one
 
 
 def sharded_analyze_full(mesh: Mesh, es, ee, ec, cs, ce, cc, excl,
@@ -469,24 +460,41 @@ def merge_tile_peaks(result: TileResult, tile_len: int,
 def split_excl_to_tiles(bed, n_tiles: int, tile_len: int) -> np.ndarray:
     """-E pairs (flat [s0, e0, s1, e1, ...]) -> [n_tiles, K, 2]
     tile-local clipped pairs, K a power of two, padded with
-    (tile_len, tile_len) rows (the convention _excluded expects)."""
-    per_tile: list = [[] for _ in range(n_tiles)]
-    for i in range(0, len(bed), 2):
-        a, b = bed[i], bed[i + 1]
-        t0 = a // tile_len
-        t1 = min((b - 1) // tile_len, n_tiles - 1) if b > a else t0
-        for t in range(t0, min(t1, n_tiles - 1) + 1):
-            lo = max(a - t * tile_len, 0)
-            hi = min(b - t * tile_len, tile_len)
-            if hi > lo:
-                per_tile[t].append((lo, hi))
+    (tile_len, tile_len) rows (the convention _excluded expects).
+
+    Fully vectorized (repeat + one stable sort), same scheme as
+    ``split_events_to_tiles``: a pair spanning several tiles is cut at
+    every boundary; within a tile, pairs keep input order.  Matters at
+    find_ns-scale BED density (a genome-wide N-homopolymer BED can
+    hold millions of 1-bp pairs).
+    """
+    a = np.asarray(bed[0::2], np.int64)
+    b = np.asarray(bed[1::2], np.int64)
+    keep = (b > a) & (a < n_tiles * tile_len) & (b > 0)
+    a, b = a[keep], b[keep]
+    if len(a) == 0:
+        return np.full((n_tiles, 1, 2), tile_len, np.int32)
+    t0 = np.maximum(a, 0) // tile_len
+    t1 = np.minimum((b - 1) // tile_len, n_tiles - 1)
+    pieces = (t1 - t0 + 1).astype(np.int64)
+    off = np.cumsum(pieces) - pieces
+    total = int(pieces.sum())
+    k_idx = np.arange(total, dtype=np.int64) - np.repeat(off, pieces)
+    tile = np.repeat(t0, pieces) + k_idx
+    base = tile * tile_len
+    lo = np.maximum(np.repeat(a, pieces) - base, 0)
+    hi = np.minimum(np.repeat(b, pieces) - base, tile_len)
+    order = np.argsort(tile, kind="stable")
+    tile_s = tile[order]
+    per_tile = np.bincount(tile_s, minlength=n_tiles).astype(np.int64)
+    slot = np.arange(total, dtype=np.int64) \
+        - np.repeat(np.cumsum(per_tile) - per_tile, per_tile)[:total]
     k = 1
-    while k < max(1, max(len(x) for x in per_tile)):
+    while k < int(per_tile.max()):
         k <<= 1
     out = np.full((n_tiles, k, 2), tile_len, np.int32)
-    for t, pairs in enumerate(per_tile):
-        for j, (lo, hi) in enumerate(pairs):
-            out[t, j] = (lo, hi)
+    out[tile_s, slot, 0] = lo[order]
+    out[tile_s, slot, 1] = hi[order]
     return out
 
 

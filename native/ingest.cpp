@@ -141,8 +141,12 @@ struct NameRef {
   const ReadStore* st = nullptr;       // lazy (arena, offset)
   uint32_t off = 0;
 
-  NameRef(const char* s) : p(s) {}
-  NameRef(const std::string& s) : p(s.c_str()) {}
+  // explicit: a NameRef borrows storage (a c-string, or the names
+  // arena while it is not appended to) and must not outlive the call
+  // expression that created it -- no implicit conversions that could
+  // silently bind a temporary.
+  explicit NameRef(const char* s) : p(s) {}
+  explicit NameRef(const std::string& s) : p(s.c_str()) {}
   NameRef(const ReadStore& store, uint32_t name_off)
       : st(&store), off(name_off) {}
   const char* c_str() const {
@@ -520,17 +524,17 @@ void process_alns(Context* c) {
     return;
   }
   if (pair) {
-    c->ctr.paired_pr += process_pair(c, c->read_name, c->alns.data(),
+    c->ctr.paired_pr += process_pair(c, NameRef(c->read_name), c->alns.data(),
                                      c->alns.size(), score_pr);
   } else if (c->opt.single_opt) {
     if (s1)
       c->ctr.single_pr += process_single(
-          c, c->read_name, c->alns.data(), c->alns.size(),
+          c, NameRef(c->read_name), c->alns.data(), c->alns.size(),
           c->opt.extend_opt, c->opt.extend, c->opt.avg_ext_opt,
           score_r1, true);
     if (s2)
       c->ctr.single_pr += process_single(
-          c, c->read_name, c->alns.data(), c->alns.size(),
+          c, NameRef(c->read_name), c->alns.data(), c->alns.size(),
           c->opt.extend_opt, c->opt.extend, c->opt.avg_ext_opt,
           score_r2, false);
   }
@@ -1102,13 +1106,13 @@ void process_avg_ext(Context* c) {
   }
   for (auto& u : c->unpair) {
     if (!avg)
-      save_interval(c, u.a.chrom, u.a.pos0, u.a.pos1, u.q, u.n);
+      save_interval(c, u.a.chrom, u.a.pos0, u.a.pos1, NameRef(u.q), u.n);
     else if (u.a.strand)
       save_interval(c, u.a.chrom, u.a.pos0,
-                    (int64_t)(uint32_t)(u.a.pos0 + avg), u.q, u.n);
+                    (int64_t)(uint32_t)(u.a.pos0 + avg), NameRef(u.q), u.n);
     else
       save_interval(c, u.a.chrom, (int32_t)(u.a.pos1 - (uint32_t)avg),
-                    u.a.pos1, u.q, u.n);
+                    u.a.pos1, NameRef(u.q), u.n);
   }
   c->unpair.clear();
 }

@@ -146,3 +146,55 @@ def test_split_scales():
     dt = time.perf_counter() - t0
     assert (tc != 0).sum() >= n        # pieces >= events
     assert dt < 10.0                   # vectorized: ~0.1s typical
+
+
+def _split_excl_loop(bed, n_tiles, tile_len):
+    """Reference loop implementation of split_excl_to_tiles (the
+    pre-vectorization version, kept as the property-test oracle)."""
+    per_tile = [[] for _ in range(n_tiles)]
+    for i in range(0, len(bed), 2):
+        a, b = bed[i], bed[i + 1]
+        t0 = a // tile_len
+        t1 = min((b - 1) // tile_len, n_tiles - 1) if b > a else t0
+        for t in range(max(t0, 0), min(t1, n_tiles - 1) + 1):
+            lo = max(a - t * tile_len, 0)
+            hi = min(b - t * tile_len, tile_len)
+            if hi > lo:
+                per_tile[t].append((lo, hi))
+    k = 1
+    while k < max(1, max(len(x) for x in per_tile)):
+        k <<= 1
+    out = np.full((n_tiles, k, 2), tile_len, np.int32)
+    for t, pairs in enumerate(per_tile):
+        for j, (lo, hi) in enumerate(pairs):
+            out[t, j] = (lo, hi)
+    return out
+
+
+@pytest.mark.parametrize("seed,density", [(0, 50), (1, 2000),
+                                          (2, 200000)])
+def test_split_excl_matches_loop(seed, density):
+    """Vectorized -E splitter == loop oracle, up to find_ns-scale
+    density (1-bp pairs at hundreds of thousands of rows)."""
+    from genrich_tpu.parallel.mesh import split_excl_to_tiles
+    n_tiles, tile_len = 16, 1 << 12
+    genome = n_tiles * tile_len
+    rng = np.random.RandomState(seed)
+    a = np.sort(rng.randint(0, genome - 1, density))
+    width = rng.choice([1, 1, 1, 5, 100, 9000], density)
+    b = np.minimum(a + width, genome)
+    bed = np.empty(2 * density, np.int64)
+    bed[0::2] = a
+    bed[1::2] = b
+    got = split_excl_to_tiles(bed, n_tiles, tile_len)
+    want = _split_excl_loop(list(bed), n_tiles, tile_len)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_split_excl_edges():
+    from genrich_tpu.parallel.mesh import split_excl_to_tiles
+    # empty bed, empty pair (b <= a), pair past the grid, boundary pair
+    assert split_excl_to_tiles([], 3, 100).shape == (3, 1, 2)
+    got = split_excl_to_tiles([5, 5, 350, 360, 90, 210], 3, 100)
+    want = _split_excl_loop([5, 5, 350, 360, 90, 210], 3, 100)
+    np.testing.assert_array_equal(got, want)
