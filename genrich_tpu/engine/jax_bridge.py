@@ -32,6 +32,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ..utils.cfloat import SKIP
+from .host_fallback import INT32_MAX, HostChromMixin
 from .pileup import Pileup
 
 F32 = np.float32
@@ -49,7 +50,7 @@ from ..utils.xla_cache import enable_compile_cache \
     as _enable_compile_cache
 
 
-class JaxEngine:
+class JaxEngine(HostChromMixin):
     """Per-run device context (lazy jax import; CPU or TPU).
 
     Stage methods keep per-chromosome interval arrays resident on the
@@ -240,7 +241,13 @@ class JaxEngine:
         Interval arrays stay on device; only the two weighted
         fragment-length scalars (savePileupExpt's return and
         calcFactor's sweep, Genrich.c:2168-2295, 1980-2046) come back.
+        A chromosome longer than 2^31-1 bp overflows device int32
+        coordinates and is computed on the host instead (exact-engine
+        operations; see host_fallback.py).
         """
+        if chrom_len > INT32_MAX:
+            return self.host_coverage_chrom(cidx, expt_ev, ctrl_ev,
+                                            bed, chrom_len)
         jnp = self.jnp
         n = max(len(expt_ev[0]) if expt_ev else 1,
                 len(ctrl_ev[0]) if ctrl_ev else 1)
@@ -267,10 +274,13 @@ class JaxEngine:
         self._lam = F32(lam)
         self._factor = F32(factor)
         for st in self._chrom.values():
+            if st.get("host"):
+                continue
             st["pv"] = self._stats_fn(st["ev"], st["cr"],
                                       st["excluded"],
                                       jnp.float32(lam),
                                       jnp.float32(factor))
+        self.host_stats(lam, factor)
 
     # --- multi-replicate: archive + device Fisher ------------------------
 
@@ -285,6 +295,9 @@ class JaxEngine:
         jnp = self.jnp
         rep: Dict[int, tuple] = {}
         for cidx, st in self._chrom.items():
+            if st.get("host"):
+                rep[cidx] = self.host_archive(st)
+                continue
             e_b, pv_b, b = self._rle_pv_fn(
                 st["starts"], st["ends"], st["pv"], st["live"],
                 jnp.int32(st["len"]))
@@ -304,6 +317,9 @@ class JaxEngine:
         chroms = sorted({c for rep in self._reps for c in rep})
         for cidx in chroms:
             present = [rep[cidx] for rep in self._reps if cidx in rep]
+            if any(self.host_is_archived(r) for r in present):
+                self.host_fisher(cidx, present)
+                continue
             ends_t = tuple(r[0] for r in present)
             pv_t = tuple(r[1] for r in present)
             starts, ends, comb, live = self._merge_fisher_fn(ends_t,
@@ -318,6 +334,8 @@ class JaxEngine:
         """The p-value RLE pileup alone (host fallback paths)."""
         jnp = self.jnp
         st = self._chrom[cidx]
+        if st.get("host"):
+            return self.host_pval_pileup(st)
         e_b, pv_b, b = self._rle_pv_fn(st["starts"], st["ends"],
                                        st["pv"], st["live"],
                                        jnp.int32(st["len"]))
@@ -335,6 +353,8 @@ class JaxEngine:
         """(expt, ctrl, pval) RLE pileups, compacted on device first."""
         jnp = self.jnp
         st = self._chrom[cidx]
+        if st.get("host"):
+            return self.host_pvalue_pileups(st)
         e_b, pv_b, ev_b, cv_b, b = self._rle_fn(
             st["starts"], st["ends"], st["pv"], st["ev"], st["cr"],
             st["excluded"], st["live"], jnp.float32(self._lam),
@@ -367,6 +387,12 @@ class JaxEngine:
         jnp = self.jnp
         ps, ws = [], []
         for st in self._chrom.values():
+            if st.get("host"):
+                hp, hw = self.host_distinct(st)
+                if len(hp):
+                    ps.append(np.asarray(hp, F32))
+                    ws.append(np.asarray(hw, np.uint64))
+                continue
             pv_d, w_d, d = self._distinct_fn(st["starts"], st["ends"],
                                              st["pv"], st["live"])
             nd = int(d)
@@ -401,6 +427,8 @@ class JaxEngine:
         """
         jnp = self.jnp
         st = self._chrom[cidx]
+        if st.get("host"):
+            return None    # pipeline falls back to the host caller
         if use_q:
             tab_p, tab_q = self._qtable
         else:

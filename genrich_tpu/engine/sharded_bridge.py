@@ -31,6 +31,7 @@ import numpy as np
 
 from ..utils.cfloat import SKIP
 from ..utils.xla_cache import enable_compile_cache
+from .host_fallback import INT32_MAX, HostChromMixin
 from .pileup import Pileup
 
 F32 = np.float32
@@ -44,7 +45,7 @@ def _pow2(n: int, lo: int = 1) -> int:
     return size
 
 
-class ShardedEngine:
+class ShardedEngine(HostChromMixin):
     """Per-run sharded device context (lazy jax import)."""
 
     def __init__(self, n_devices: Optional[int] = None,
@@ -106,6 +107,10 @@ class ShardedEngine:
     def coverage_chrom(self, cidx: int, expt_ev, ctrl_ev,
                        bed: List[int], chrom_len: int
                        ) -> Tuple[float, float]:
+        if chrom_len > INT32_MAX:
+            # device coordinates are int32: exact-engine host fallback
+            return self.host_coverage_chrom(cidx, expt_ev, ctrl_ev,
+                                            bed, chrom_len)
         import jax.numpy as jnp
         tile_len, limit = self._grid(chrom_len)
         kern = self._kern(tile_len)
@@ -150,10 +155,13 @@ class ShardedEngine:
         self._lam = F32(lam)
         self._factor = F32(factor)
         for st in self._chrom.values():
+            if st.get("host"):
+                continue
             kern = self._kern(st["tile_len"])
             st["pv"] = kern.stats(st["ev"], st["cr"], st["excluded"],
                                   jnp.float32(lam),
                                   jnp.float32(factor))
+        self.host_stats(lam, factor)
 
     # --- multi-replicate: archive + sharded Fisher ------------------------
 
@@ -162,6 +170,9 @@ class ShardedEngine:
         import jax.numpy as jnp
         rep: Dict[int, tuple] = {}
         for cidx, st in self._chrom.items():
+            if st.get("host"):
+                rep[cidx] = self.host_archive(st)
+                continue
             kern = self._kern(st["tile_len"])
             e_b, pv_b, b = kern.rle_pv(
                 st["starts"], st["ends"], st["pv"], st["live"],
@@ -176,6 +187,9 @@ class ShardedEngine:
         chroms = sorted({c for rep in self._reps for c in rep})
         for cidx in chroms:
             present = [rep[cidx] for rep in self._reps if cidx in rep]
+            if any(self.host_is_archived(r) for r in present):
+                self.host_fisher(cidx, present)
+                continue
             r = len(present)
             kern = self._kern(present[0][3])
             fn = kern.fisher(r)
@@ -194,6 +208,8 @@ class ShardedEngine:
     def pval_pileup(self, cidx: int) -> Pileup:
         import jax.numpy as jnp
         st = self._chrom[cidx]
+        if st.get("host"):
+            return self.host_pval_pileup(st)
         kern = self._kern(st["tile_len"])
         e_b, pv_b, b = kern.rle_pv(st["starts"], st["ends"], st["pv"],
                                    st["live"],
@@ -208,6 +224,8 @@ class ShardedEngine:
                        ) -> Tuple[Pileup, Pileup, Pileup]:
         import jax.numpy as jnp
         st = self._chrom[cidx]
+        if st.get("host"):
+            return self.host_pvalue_pileups(st)
         kern = self._kern(st["tile_len"])
         e_b, pv_b, ev_b, cv_b, b = kern.rle(
             st["starts"], st["ends"], st["pv"], st["ev"], st["cr"],
@@ -266,6 +284,12 @@ class ShardedEngine:
         import jax.numpy as jnp
         ps, ws = [], []
         for st in self._chrom.values():
+            if st.get("host"):
+                hp, hw = self.host_distinct(st)
+                if len(hp):
+                    ps.append(np.asarray(hp, F32))
+                    ws.append(np.asarray(hw, np.uint64))
+                continue
             kern = self._kern(st["tile_len"])
             while True:
                 pv_all, w_all, d_all = kern.distinct(
@@ -310,6 +334,8 @@ class ShardedEngine:
         import jax.numpy as jnp
         from ..ops.pipeline_jax import TileResult
         st = self._chrom[cidx]
+        if st.get("host"):
+            return None    # pipeline falls back to the host caller
         kern = self._kern(st["tile_len"])
         if max_gap >= st["tile_len"]:
             return None    # boundary merge assumes gap < tile

@@ -310,11 +310,13 @@ def _replicate_jax(eng, registry: ChromRegistry,
     for c in registry:
         if c.skip or not c.save:
             continue
-        if c.length > 0x7FFFFFFF:
-            # device positions are int32 (PARITY.md); the exact
-            # engine handles the reference's full uint32 range
-            raise fatal(f"{c.name} is longer than 2^31-1 bp; use the "
-                        f"default --engine exact", ERRGEN)
+        if c.length > 0x7FFFFFFF and p.verbose:
+            # device positions are int32 (PARITY.md): this chromosome
+            # is routed through the exact host engine instead
+            # (engine/host_fallback.py); everything else stays on
+            # the device
+            warn(f"Warning! {c.name} is longer than 2^31-1 bp; "
+                 f"computing it on the host\n")
         ev = _chrom_events(expt_sink, c.index)
         cv = _chrom_events(ctrl_sink, c.index) if ctrl_sink else None
         fe, fc = eng.coverage_chrom(c.index, ev, cv, c.bed, c.length)

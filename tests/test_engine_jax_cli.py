@@ -168,3 +168,32 @@ def test_device_engine_logs(tmp_path, engine):
     def span(rs):
         return sum(int(r[2]) - int(r[1]) for r in rs)
     assert span(fe) == span(ff)
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_device_engine_big_chrom_host_fallback(tmp_path, engine):
+    """A chromosome with a >2^31-bp @SQ header no longer kills the
+    device engines: it routes through the exact host engine
+    (engine/host_fallback.py) while other chromosomes stay on
+    device, and all three engines agree — including read positions
+    above 2^31 and the merged genome-wide BH table."""
+    big = 3_000_000_000              # > 2^31-1 = 2147483647
+    oracle.random_sam(str(tmp_path / "in.sam"),
+                      chroms=(("chrBig", big), ("chr2", 50000)),
+                      seed=101, n_pairs=400)
+    _env()
+    extra = ["-q", "0.5"]
+    exact = _run(tmp_path, "exact", extra)
+    fast = _run(tmp_path, engine, extra + ["--engine", engine])
+    assert exact, "fixture must produce peaks"
+    assert any(ln.startswith("chrBig\t") for ln in exact)
+    assert len(exact) == len(fast)
+    for a, b in zip(exact, fast):
+        fa, fb = a.split("\t"), b.split("\t")
+        assert fa[:6] == fb[:6], (a, b)
+        for i in (6, 7, 8):
+            x, y = float(fa[i]), float(fb[i])
+            assert abs(x - y) <= 1e-4 * max(1.0, abs(x)), (a, b)
+    # positions above 2^31 actually exercised
+    assert any(int(ln.split("\t")[1]) > 0x7FFFFFFF for ln in exact
+               if ln.startswith("chrBig\t"))
