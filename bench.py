@@ -4,14 +4,29 @@ Replicates the scale of the reference's sole published benchmark
 (README.md:459-511: hg19, 2.83 Gbp scanned in 10.5 min single-core,
 about 4.5M genome positions/s) on the numeric phase: fragment events ->
 pileup -> log-normal p-values -> peak calling, as the fused device
-kernel, tile by tile across a human-sized genome.
+kernel, over a human-sized genome.
 
-Prints one JSON line: genome positions scanned per second,
-vs_baseline = ratio over the reference's implied 4.5e6 positions/s.
-The line also carries an "e2e" key: measured wall times of the
-compiled reference vs our CLI engines on a multi-million-record BGZF
-BAM (scripts/bench_e2e.py) — the honest end-to-end ratio on this
-machine, not the kernel-only number.  GENRICH_BENCH_E2E=0 skips it;
+Methodology (round 3): tiles are batched per dispatch with ``vmap``
+(the same shape the mesh path runs), and NOTHING is dispatched
+op-by-op — r01/r02 accumulated per-tile fragment sums with chained
+``acc + f`` scalar adds, and on a relay-backed TPU runtime every such
+eager op is its own XLA program whose one-time *load* can cost
+25-100 s; that, plus ~100 ms of per-dispatch relay round-trip, is the
+whole story of r01's 27.4e9 vs r02's 5.8e9 "positions/s" (a 4.7x
+swing with no hot-path change).  Here each dispatch returns one
+scalar, results are blocked on as a list (no cross-dispatch ops), the
+scan is repeated and the median reported with its spread, and a
+single-tile-dispatch leg separates relay round-trip cost from device
+compute.
+
+Prints one JSON line: genome positions scanned per second (median),
+vs_baseline = ratio over the reference's implied 4.5e6 positions/s,
+plus a "kernel" dict with the rep times, spread, per-tile latencies
+batched vs single, and the derived per-dispatch overhead.  The line
+also carries an "e2e" key: measured wall times of the compiled
+reference vs our CLI engines on a multi-million-record BGZF BAM
+(scripts/bench_e2e.py) — the honest end-to-end ratio on this machine,
+not the kernel-only number.  GENRICH_BENCH_E2E=0 skips it;
 GENRICH_BENCH_E2E_PAIRS sizes it (default 2M pairs ~ 4.9M records).
 """
 
@@ -28,22 +43,14 @@ GENOME_LEN = 2_826_865_605          # reference example (README.md:490)
 BASELINE_POS_PER_SEC = 4.5e6        # derived: README.md:490,496
 TILE_LEN = 1 << 24                  # 16.8 Mbp tiles
 EVENTS_PER_TILE = 1 << 19           # ~88M fragments genome-wide
+BATCH = 48                          # tiles per dispatch (vmap axis)
+REPS = 5                            # full-genome scans (median)
 
 
-def main() -> None:
-    from genrich_tpu.utils.xla_cache import enable_compile_cache
-    enable_compile_cache()
-
-    import jax
-    import jax.numpy as jnp
-
-    from genrich_tpu.ops.pipeline_jax import analyze_tile
-
-    n_tiles = (GENOME_LEN + TILE_LEN - 1) // TILE_LEN
-
-    rng = np.random.RandomState(0)
+def _tile_events(rng, n_variants=4):
+    """Distinct per-tile event sets (clustered + background)."""
     variants = []
-    for _ in range(4):   # distinct per-tile event sets, cycled
+    for _ in range(n_variants):
         hot = rng.randint(0, TILE_LEN - 2000, 64)
         which = rng.randint(0, 64, EVENTS_PER_TILE)
         is_hot = rng.rand(EVENTS_PER_TILE) < 0.7
@@ -57,35 +64,113 @@ def main() -> None:
         end = np.clip(base + frag, 1, TILE_LEN).astype(np.int32)
         count = rng.choice([1, 1, 1, 1, 2, 4], EVENTS_PER_TILE) \
             .astype(np.int32)
-        variants.append((jnp.asarray(start), jnp.asarray(end),
-                         jnp.asarray(count)))
+        variants.append((start, end, count))
+    return variants
+
+
+def main() -> None:
+    from genrich_tpu.utils.xla_cache import enable_compile_cache
+    enable_compile_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from genrich_tpu.ops.pipeline_jax import analyze_tile, \
+        analyze_tile_core
+
+    n_dispatch = -(-GENOME_LEN // (TILE_LEN * BATCH))
+    scanned_bp = n_dispatch * BATCH * TILE_LEN   # >= GENOME_LEN
+
+    rng = np.random.RandomState(0)
+    variants = _tile_events(rng)
     lam = np.float32(EVENTS_PER_TILE * 200.0 / TILE_LEN)
 
-    def step(i):
-        s, e, c = variants[i % len(variants)]
-        return analyze_tile(s, e, c,
-                            jnp.int32(TILE_LEN), jnp.float32(lam),
-                            jnp.float32(2.0), jnp.float32(20.0),
-                            0, 100)
+    # upload the 4 distinct variants once (a few MB through the
+    # device link); the [BATCH, E] batch is built ON DEVICE by one
+    # jitted tile-op, so hundreds of MB never cross the link
+    vs = jnp.asarray(np.stack([v[0] for v in variants]))
+    ve = jnp.asarray(np.stack([v[1] for v in variants]))
+    vc = jnp.asarray(np.stack([v[2] for v in variants]))
 
-    # warmup / compile
-    res = step(0)
-    jax.block_until_ready(res)
+    @jax.jit
+    def expand(v4):
+        return jnp.tile(v4, (BATCH // v4.shape[0], 1))
 
+    bs, be, bc = expand(vs), expand(ve), expand(vc)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("min_len", "max_gap"))
+    def step_batch(s, e, c, lam_, min_len, max_gap):
+        res = jax.vmap(
+            lambda a, b, d: analyze_tile_core(
+                a, b, d, jnp.int32(TILE_LEN),
+                jnp.zeros((4,), jnp.int32), lam_, jnp.float32(2.0),
+                jnp.float32(20.0), min_len, max_gap))(s, e, c)
+        return jnp.sum(res.frag_len)
+
+    args = (bs, be, bc, jnp.float32(lam))
+
+    # warmup / compile both programs
+    jax.block_until_ready(step_batch(*args, min_len=0, max_gap=100))
+    sv = [jnp.asarray(v) for v in variants[0]]
+    jax.block_until_ready(analyze_tile(
+        sv[0], sv[1], sv[2], jnp.int32(TILE_LEN), jnp.float32(lam),
+        jnp.float32(2.0), jnp.float32(20.0), 0, 100))
+
+    # batched full-genome scans: per-dispatch scalars collected in a
+    # Python list — no cross-dispatch device ops — and FETCHED, not
+    # just blocked on: on the relay runtime block_until_ready has been
+    # observed returning before execution completes, which is exactly
+    # how r01/r02 recorded impossible throughputs.  Fetching the
+    # scalar forces completion; equal values across reps prove the
+    # executions were real.
+    rep_s = []
+    v0 = None
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        outs = [step_batch(*args, min_len=0, max_gap=100)
+                for _i in range(n_dispatch)]
+        vals = [float(o) for o in outs]
+        rep_s.append(time.perf_counter() - t0)
+        if v0 is None:
+            v0 = vals[0]
+        assert all(v == v0 for v in vals), "non-deterministic scan"
+    rep_s.sort()
+    med = rep_s[len(rep_s) // 2]
+    spread_pct = 100.0 * (rep_s[-1] - rep_s[0]) / med
+
+    # single-tile-dispatch leg: same tiles, one dispatch each
+    n_single = 16
     t0 = time.perf_counter()
-    acc = None
-    for i in range(n_tiles):
-        res = step(i)
-        acc = res.frag_len if acc is None else acc + res.frag_len
-    jax.block_until_ready(acc)
-    dt = time.perf_counter() - t0
+    outs = [analyze_tile(sv[0], sv[1], sv[2], jnp.int32(TILE_LEN),
+                         jnp.float32(lam), jnp.float32(2.0),
+                         jnp.float32(20.0), 0, 100).frag_len
+            for _ in range(n_single)]
+    _ = [float(o) for o in outs]
+    single_s = time.perf_counter() - t0
 
-    value = GENOME_LEN / dt
+    per_tile_batched_ms = 1e3 * med / (n_dispatch * BATCH)
+    per_tile_single_ms = 1e3 * single_s / n_single
+    value = scanned_bp / med
     out = {
         "metric": "genome_positions_per_sec",
         "value": round(value, 1),
         "unit": "positions/s",
         "vs_baseline": round(value / BASELINE_POS_PER_SEC, 3),
+        "kernel": {
+            "tiles": n_dispatch * BATCH,
+            "batch": BATCH,
+            "events_per_tile": EVENTS_PER_TILE,
+            "rep_s": [round(x, 4) for x in rep_s],
+            "median_s": round(med, 4),
+            "spread_pct": round(spread_pct, 1),
+            "per_tile_ms_batched": round(per_tile_batched_ms, 4),
+            "per_tile_ms_single_dispatch": round(per_tile_single_ms,
+                                                 4),
+            "dispatch_overhead_ms": round(
+                per_tile_single_ms - per_tile_batched_ms, 4),
+        },
     }
     if os.environ.get("GENRICH_BENCH_E2E", "1") != "0":
         try:
@@ -95,12 +180,14 @@ def main() -> None:
             n_pairs = int(os.environ.get("GENRICH_BENCH_E2E_PAIRS",
                                          "2000000"))
             out["e2e"] = bench_e2e(n_pairs, include_jax=True,
-                                   timeout=900.0)
+                                   timeout=1800.0)
         except Exception as exc:  # the e2e leg must never kill bench
             out["e2e"] = {"error": f"{type(exc).__name__}: {exc}"}
     print(json.dumps(out))
-    print(f"# {n_tiles} tiles x {EVENTS_PER_TILE} events, "
-          f"{dt:.2f}s total, device={jax.devices()[0].platform}",
+    print(f"# {n_dispatch}x{BATCH} tiles x {EVENTS_PER_TILE} events, "
+          f"median {med:.2f}s over {REPS} reps "
+          f"(spread {spread_pct:.0f}%), "
+          f"device={jax.devices()[0].platform}",
           file=sys.stderr)
 
 

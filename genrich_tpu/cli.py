@@ -53,6 +53,11 @@ Other options:
 
 def main(argv: Optional[List[str]] = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    if "--serve" in argv:
+        # persistent-process mode (extension): one analysis per stdin
+        # line, device engines and their compiled programs reused
+        from .serve import serve_loop
+        return serve_loop([a for a in argv if a != "--serve"])
     try:
         params = parse_args(argv)
     except UsageRequested:

@@ -69,12 +69,22 @@ class ShardedEngine(HostChromMixin):
 
     # --- grid construction ----------------------------------------------
 
-    def _grid(self, chrom_len: int) -> Tuple[int, np.ndarray]:
-        """(tile_len, per-tile limits) for a chromosome: D tiles of a
-        power-of-two length (bounded set of jit shapes)."""
+    MAX_TILE_LEN = 1 << 28   # cap: keeps positions well inside int32
+                             # and bounds per-tile sort size; a chrom
+                             # larger than D*cap gets several tiles
+                             # per device (the kernels vmap over the
+                             # local tile axis)
+
+    def _grid(self, chrom_len: int) -> Tuple[int, int, np.ndarray]:
+        """(tile_len, n_tiles, per-tile limits) for a chromosome:
+        power-of-two tile length, tile count a multiple of the mesh
+        size D (bounded set of jit shapes)."""
         tl = _pow2(-(-chrom_len // self.D), lo=self.min_tile_len)
-        limit = np.clip(chrom_len - np.arange(self.D) * tl, 0, tl)
-        return tl, limit.astype(np.int32)
+        tl = min(tl, self.MAX_TILE_LEN)
+        t = -(-chrom_len // tl)
+        t = -(-t // self.D) * self.D
+        limit = np.clip(chrom_len - np.arange(t) * tl, 0, tl)
+        return tl, t, limit.astype(np.int32)
 
     def _kern(self, tile_len: int):
         k = self._kernels.get(tile_len)
@@ -83,13 +93,13 @@ class ShardedEngine(HostChromMixin):
             self._kernels[tile_len] = k
         return k
 
-    def _split(self, ev, tile_len: int):
-        """Events -> [D, E] tile-local arrays, E a power of two."""
+    def _split(self, ev, tile_len: int, n_tiles: int):
+        """Events -> [n_tiles, E] tile-local arrays, E a power of two."""
         if ev is None or len(ev[0]) == 0:
-            e = np.full((self.D, 1), tile_len, np.int32)
-            return e, e.copy(), np.zeros((self.D, 1), np.int32)
+            e = np.full((n_tiles, 1), tile_len, np.int32)
+            return e, e.copy(), np.zeros((n_tiles, 1), np.int32)
         s, e, c = self.pmesh.split_events_to_tiles(
-            ev[0], ev[1], ev[2], self.D, tile_len)
+            ev[0], ev[1], ev[2], n_tiles, tile_len)
         width = _pow2(s.shape[1])
         if width > s.shape[1]:
             pad = width - s.shape[1]
@@ -98,9 +108,10 @@ class ShardedEngine(HostChromMixin):
             c = np.pad(c, ((0, 0), (0, pad)))
         return s, e, c
 
-    def _split_excl(self, bed: List[int], tile_len: int) -> np.ndarray:
-        """-E pairs -> [D, K, 2] tile-local clipped pairs (K pow2)."""
-        return self.pmesh.split_excl_to_tiles(bed, self.D, tile_len)
+    def _split_excl(self, bed: List[int], tile_len: int,
+                    n_tiles: int) -> np.ndarray:
+        """-E pairs -> [n_tiles, K, 2] tile-local clipped pairs."""
+        return self.pmesh.split_excl_to_tiles(bed, n_tiles, tile_len)
 
     # --- stage 1: coverage (resident) ------------------------------------
 
@@ -112,10 +123,10 @@ class ShardedEngine(HostChromMixin):
             return self.host_coverage_chrom(cidx, expt_ev, ctrl_ev,
                                             bed, chrom_len)
         import jax.numpy as jnp
-        tile_len, limit = self._grid(chrom_len)
+        tile_len, n_tiles, limit = self._grid(chrom_len)
         kern = self._kern(tile_len)
-        es, ee, ec = self._split(expt_ev, tile_len)
-        cs, ce, cc = self._split(ctrl_ev, tile_len)
+        es, ee, ec = self._split(expt_ev, tile_len, n_tiles)
+        cs, ce, cc = self._split(ctrl_ev, tile_len, n_tiles)
         # event widths must match across expt/ctrl for one sort shape
         w = max(es.shape[1], cs.shape[1])
         if es.shape[1] < w:
@@ -132,7 +143,7 @@ class ShardedEngine(HostChromMixin):
             ce = np.pad(ce, ((0, 0), (0, pad)),
                         constant_values=tile_len)
             cc = np.pad(cc, ((0, 0), (0, pad)))
-        excl = self._split_excl(bed, tile_len)
+        excl = self._split_excl(bed, tile_len, n_tiles)
         out = kern.cov(jnp.asarray(es), jnp.asarray(ee),
                        jnp.asarray(ec), jnp.asarray(cs),
                        jnp.asarray(ce), jnp.asarray(cc),
@@ -254,7 +265,7 @@ class ShardedEngine(HostChromMixin):
         e_np = np.asarray(e_b)
         v_np = [np.asarray(v) for v in vals]
         ends_parts, val_parts = [], [[] for _ in v_np]
-        for t in range(self.D):
+        for t in range(e_np.shape[0]):
             n = int(b_np[t])
             if n == 0:
                 continue

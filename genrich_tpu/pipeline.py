@@ -705,8 +705,15 @@ def _log_intervals(registry, pvals, qvals, n, expt, ctrl, log_stream,
                            reps, pv, qv, p, n, False)
 
 
-def run(p: Params) -> None:
-    """runProgram (Genrich.c:5386-5695)."""
+def run(p: Params, engine=None) -> None:
+    """runProgram (Genrich.c:5386-5695).
+
+    ``engine``: optional pre-built device engine (JaxEngine /
+    ShardedEngine) to reuse across runs — the serve mode
+    (genrich_tpu/serve.py) passes one so compiled XLA programs load
+    once per process instead of once per analysis.  Engines clear
+    their per-run state in ``release()``; the jitted programs persist.
+    """
     if p.peaks_only:
         from .logreader import find_peaks_only
         find_peaks_only(p)
@@ -759,10 +766,10 @@ def run(p: Params) -> None:
     full_device = False
     if p.engine == "jax":
         from .engine.jax_bridge import JaxEngine
-        jax_engine = JaxEngine()
+        jax_engine = engine if engine is not None else JaxEngine()
     elif p.engine == "sharded":
         from .engine.sharded_bridge import ShardedEngine
-        jax_engine = ShardedEngine()
+        jax_engine = engine if engine is not None else ShardedEngine()
     if jax_engine is not None:
         # with no interval logs, the analysis finishes on the device:
         # Fisher combination, q-values, and peak calling over

@@ -6,20 +6,32 @@ multimappers, -r -j -q 0.05), then times
 
   - the compiled reference binary (tests/oracle.build_oracle),
   - ``--engine exact``  (native ingest + numpy; byte-parity checked),
-  - ``--engine jax``    (native ingest + TPU device numerics),
+  - ``--engine jax`` and ``--engine sharded`` through the persistent
+    serve mode (``--serve``): one process, cold first analysis
+    (includes XLA program compile/load — 25-100 s per program through
+    a remote-compile relay), then warm repeats that reuse the loaded
+    programs.  ``warm_s`` is the steady-state number a resident TPU
+    deployment sees; ``load_s = cold_s - warm_s`` is the one-time
+    cost.
 
-on identical inputs and flags.  Prints a JSON dict; bench.py embeds
-it in its single-line output as the "e2e" key.
+Protocol: every subprocess leg runs ``reps`` times (default 3) and
+reports the median plus the spread (max-min)/median; peak RSS is
+captured via wait4/ru_maxrss for the reference and exact legs (the
+reference holds dense 3 B/bp diff arrays — README.md:533 — ours is
+O(events)).
 
-The reference's only published number is 146M records in 10.5 min
-single-core (README.md:459-511, ~232K records/s); this measures the
-actual ratio on the same machine instead of trusting that anchor.
+Prints a JSON dict; bench.py embeds it in its single-line output as
+the "e2e" key.  The reference's only published number is 146M records
+in 10.5 min single-core (README.md:459-511, ~232K records/s); this
+measures the actual ratio on the same machine instead of trusting
+that anchor.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import resource
 import subprocess
 import sys
 import tempfile
@@ -60,45 +72,128 @@ def _oracle_bin() -> str:
     return oracle.build_oracle()
 
 
-def _env() -> dict:
+def _env(extra=None) -> dict:
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    if extra:
+        env.update(extra)
     return env
 
 
-def _run(cmd, cwd, timeout, extra_env=None) -> tuple:
-    env = _env()
-    if extra_env:
-        env.update(extra_env)
+def _run_rss(cmd, cwd, timeout, extra_env=None):
+    """One run: (wall_s, rc, stderr_text, peak_rss_mb)."""
+    proc = subprocess.Popen(cmd, cwd=cwd, stdout=subprocess.DEVNULL,
+                            stderr=subprocess.PIPE, text=True,
+                            env=_env(extra_env))
     t0 = time.perf_counter()
     try:
-        r = subprocess.run(cmd, cwd=cwd, capture_output=True,
-                           text=True, env=env, timeout=timeout)
-        return time.perf_counter() - t0, r.returncode, r.stderr
+        err = proc.communicate(timeout=timeout)[1]
     except subprocess.TimeoutExpired:
-        return time.perf_counter() - t0, None, "timeout"
+        proc.kill()
+        proc.communicate()
+        return time.perf_counter() - t0, None, "timeout", 0.0
+    # communicate() has seen EOF but the child may not be reaped by
+    # Popen yet; wait4 gives us rusage (ru_maxrss in KiB on Linux)
+    try:
+        _, status, ru = os.wait4(proc.pid, 0)
+        rc = os.waitstatus_to_exitcode(status)
+        rss_mb = ru.ru_maxrss / 1024.0
+        proc.returncode = rc
+    except ChildProcessError:
+        rc = proc.wait()
+        rss_mb = 0.0
+    return time.perf_counter() - t0, rc, err, rss_mb
+
+
+def _timed_leg(cmd, cwd, timeout, reps, extra_env=None):
+    """reps runs -> dict(median_s, rep_s, spread_pct, rss_mb)."""
+    times, rss = [], 0.0
+    err = ""
+    for _ in range(reps):
+        t, rc, err, r = _run_rss(cmd, cwd, timeout, extra_env)
+        assert rc == 0, (cmd[0], (err or "")[-500:])
+        times.append(t)
+        rss = max(rss, r)
+    ts = sorted(times)
+    med = ts[len(ts) // 2]
+    return {"median_s": round(med, 2),
+            "rep_s": [round(t, 2) for t in times],
+            "spread_pct": round(100.0 * (ts[-1] - ts[0]) / med, 1),
+            "rss_mb": round(rss, 1)}, err
+
+
+class ServeClient:
+    """Drives a ``--serve`` process: one analysis per submitted line."""
+
+    def __init__(self, cwd, ready_timeout=300.0):
+        self.proc = subprocess.Popen(
+            [sys.executable, "-m", "genrich_tpu", "--serve"],
+            cwd=cwd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True, env=_env())
+        line = self._read_line(ready_timeout)
+        assert line == "READY", line
+
+    def _read_line(self, timeout):
+        import select
+        r, _, _ = select.select([self.proc.stdout], [], [], timeout)
+        if not r:
+            raise TimeoutError("serve: no response")
+        return self.proc.stdout.readline().strip()
+
+    def analyze(self, args: str, timeout: float) -> float:
+        t0 = time.perf_counter()
+        self.proc.stdin.write(args + "\n")
+        self.proc.stdin.flush()
+        line = self._read_line(timeout)
+        assert line.startswith("OK"), line
+        return time.perf_counter() - t0
+
+    def close(self):
+        try:
+            self.proc.stdin.write("EXIT\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=30)
+        except Exception:
+            self.proc.kill()
+
+
+def _serve_leg(client: ServeClient, bam: str, engine: str, d: str,
+               warm_reps: int, cold_timeout: float) -> dict:
+    """Cold + warm timings for one device engine via the server."""
+    base = f"-t {bam} --engine {engine} " + " ".join(FLAGS)
+    out = {}
+    cold = client.analyze(f"{base} -o {engine}_cold.np", cold_timeout)
+    out["cold_s"] = round(cold, 2)
+    warms = []
+    for i in range(warm_reps):
+        warms.append(client.analyze(f"{base} -o {engine}_w{i}.np",
+                                    max(cold_timeout / 2, 120.0)))
+    ws = sorted(warms)
+    warm = ws[len(ws) // 2]
+    out["warm_s"] = round(warm, 2)
+    out["warm_rep_s"] = [round(w, 3) for w in warms]
+    out["load_s"] = round(cold - warm, 2)
+    out["peaks"] = sum(1 for _ in open(
+        os.path.join(d, f"{engine}_w{warm_reps - 1}.np")))
+    return out
 
 
 def bench_e2e(n_pairs: int = 2_000_000, include_jax: bool = True,
-              timeout: float = 900.0, chroms=None) -> dict:
+              timeout: float = 1800.0, chroms=None,
+              reps: int = None) -> dict:
+    reps = reps or int(os.environ.get("GENRICH_BENCH_E2E_REPS", "3"))
     bam = _bam_path(n_pairs, chroms)
     ref = _oracle_bin()
     genome = sum(l for _, l in (chroms or HG_CHROMS))
     out = {"n_pairs": n_pairs, "genome_bp": genome,
-           "flags": " ".join(FLAGS)}
+           "flags": " ".join(FLAGS), "reps": reps}
     with tempfile.TemporaryDirectory() as d:
         # -v's counter block is a handful of stderr lines; its timing
-        # cost is noise and it carries the record count.  Shared-CPU
-        # containers add multi-second jitter between identical runs,
-        # so both contenders get best-of-2 (same treatment, no bias).
-        t, rc, err = _run([ref, "-t", bam, "-o", "ref.np", "-v"]
-                          + FLAGS, d, timeout)
-        assert rc == 0, err[-500:]
-        t2, rc2, _ = _run([ref, "-t", bam, "-o", "ref.np", "-v"]
-                          + FLAGS, d, timeout)
-        if rc2 == 0:
-            t = min(t, t2)
-        out["ref_s"] = round(t, 2)
+        # cost is noise and it carries the record count.
+        leg, err = _timed_leg([ref, "-t", bam, "-o", "ref.np", "-v"]
+                              + FLAGS, d, timeout, reps)
+        out["ref_s"] = leg["median_s"]
+        out["ref"] = leg
         for line in err.splitlines():
             if "records analyzed" in line:
                 out["records"] = int(line.split()[-1])
@@ -108,32 +203,34 @@ def bench_e2e(n_pairs: int = 2_000_000, include_jax: bool = True,
         exact_cmd = [sys.executable, "-m", "genrich_tpu", "-t", bam,
                      "-o", "exact.np", "--engine", "exact", "-v"] \
             + FLAGS
-        t, rc, err = _run(exact_cmd, d, timeout,
-                          extra_env={"PALLAS_AXON_POOL_IPS": ""})
-        assert rc == 0, err[-500:]
-        t2, rc2, _ = _run(exact_cmd, d, timeout,
-                          extra_env={"PALLAS_AXON_POOL_IPS": ""})
-        if rc2 == 0:
-            t = min(t, t2)
-        out["exact_s"] = round(t, 2)
+        leg, _ = _timed_leg(exact_cmd, d, timeout, reps,
+                            extra_env={"PALLAS_AXON_POOL_IPS": ""})
+        out["exact_s"] = leg["median_s"]
+        out["exact"] = leg
         ref_np = open(os.path.join(d, "ref.np"), "rb").read()
         out["exact_match"] = \
             ref_np == open(os.path.join(d, "exact.np"), "rb").read()
         out["exact_speedup"] = round(out["ref_s"] / out["exact_s"], 3)
+        out["ref_peaks"] = len(ref_np.decode().splitlines())
 
         if include_jax:
-            t, rc, err = _run(
-                [sys.executable, "-m", "genrich_tpu", "-t", bam, "-o",
-                 "jax.np", "--engine", "jax", "-v"] + FLAGS, d, timeout)
-            if rc == 0:
-                out["jax_s"] = round(t, 2)
-                out["jax_speedup"] = round(out["ref_s"] / t, 3)
-                jax_lines = open(os.path.join(d, "jax.np")).readlines()
-                out["jax_peaks"] = len(jax_lines)
-                out["ref_peaks"] = len(ref_np.decode().splitlines())
-            else:
-                out["jax_s"] = None
-                out["jax_error"] = (err or "")[-200:]
+            # device engines through the persistent serve process:
+            # cold (program compile+load) vs warm (steady state)
+            try:
+                client = ServeClient(d)
+                try:
+                    for eng in ("jax", "sharded"):
+                        res = _serve_leg(client, bam, eng, d,
+                                         warm_reps=3,
+                                         cold_timeout=timeout)
+                        out[eng] = res
+                        out[f"{eng}_s"] = res["warm_s"]
+                        out[f"{eng}_speedup"] = round(
+                            out["ref_s"] / res["warm_s"], 3)
+                finally:
+                    client.close()
+            except Exception as exc:
+                out["serve_error"] = f"{type(exc).__name__}: {exc}"
     if "records" in out:
         out["exact_records_per_s"] = round(
             out["records"] / out["exact_s"], 1)

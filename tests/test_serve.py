@@ -1,0 +1,61 @@
+"""Persistent serve mode (--serve): engines and programs reused.
+
+Drives the real subprocess protocol: READY, one analysis per stdin
+line, OK/ERR status lines, warm repeats byte-identical to cold, and
+the exact engine's output still byte-identical to a fresh-process
+run.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import conftest  # noqa: F401
+import oracle
+
+
+def _serve(tmp_path, lines, timeout=300):
+    env = dict(os.environ)
+    env.update({"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
+                "PYTHONPATH": oracle.REPO})
+    r = subprocess.run(
+        [sys.executable, "-m", "genrich_tpu", "--serve"],
+        input="\n".join(lines) + "\nEXIT\n", capture_output=True,
+        text=True, cwd=str(tmp_path), env=env, timeout=timeout)
+    assert r.returncode == 0, r.stderr[-1500:]
+    return r.stdout.splitlines()
+
+def test_serve_warm_runs_identical(tmp_path):
+    oracle.random_sam(str(tmp_path / "in.sam"), seed=11)
+    base = "-t in.sam -y -p 0.01 -a 20"
+    out = _serve(tmp_path, [
+        f"{base} -o exact.np",
+        f"{base} -o jax0.np --engine jax",
+        f"{base} -o jax1.np --engine jax",
+        f"{base} -o sh0.np --engine sharded",
+        f"{base} -o sh1.np --engine sharded",
+        "bogus --flags",
+        f"{base} -o exact2.np",
+    ])
+    assert out[0] == "READY"
+    statuses = [ln.split()[0] for ln in out[1:]]
+    assert statuses == ["OK", "OK", "OK", "OK", "OK", "ERR", "OK"]
+    # warm == cold per engine (programs reused, state fully released)
+    assert (tmp_path / "jax0.np").read_bytes() \
+        == (tmp_path / "jax1.np").read_bytes()
+    assert (tmp_path / "sh0.np").read_bytes() \
+        == (tmp_path / "sh1.np").read_bytes()
+    # an ERR line must not poison later analyses
+    assert (tmp_path / "exact.np").read_bytes() \
+        == (tmp_path / "exact2.np").read_bytes()
+    # exact serve output == fresh-process run
+    d = tmp_path / "fresh"
+    d.mkdir()
+    r = oracle.run_ours(["-t", str(tmp_path / "in.sam"), "-o",
+                         "out.np", "-y", "-p", "0.01", "-a", "20"],
+                        cwd=str(d))
+    assert r.returncode == 0
+    assert (d / "out.np").read_bytes() \
+        == (tmp_path / "exact.np").read_bytes()
