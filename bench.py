@@ -138,7 +138,13 @@ def main() -> None:
         assert all(v == v0 for v in vals), "non-deterministic scan"
     rep_s.sort()
     med = rep_s[len(rep_s) // 2]
-    spread_pct = 100.0 * (rep_s[-1] - rep_s[0]) / med
+    # the tunneled relay occasionally stalls for minutes mid-rep
+    # (observed: 4 reps at 1.10s, one at 494s); such reps are relay
+    # outages, not kernel time — report them separately and compute
+    # the spread over the non-stalled reps
+    good = [x for x in rep_s if x <= 5.0 * med]
+    stalled = [round(x, 2) for x in rep_s if x > 5.0 * med]
+    spread_pct = 100.0 * (good[-1] - good[0]) / med
 
     # single-tile-dispatch leg: same tiles, one dispatch each
     n_single = 16
@@ -165,6 +171,7 @@ def main() -> None:
             "rep_s": [round(x, 4) for x in rep_s],
             "median_s": round(med, 4),
             "spread_pct": round(spread_pct, 1),
+            "relay_stalled_reps": stalled,
             "per_tile_ms_batched": round(per_tile_batched_ms, 4),
             "per_tile_ms_single_dispatch": round(per_tile_single_ms,
                                                  4),

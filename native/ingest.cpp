@@ -29,6 +29,9 @@
 #include <algorithm>
 #include <sys/mman.h>
 #include <zlib.h>
+#ifdef USE_LIBDEFLATE
+#include <libdeflate.h>
+#endif
 #include <sys/stat.h>
 
 namespace {
@@ -182,7 +185,36 @@ struct Context {
   ReadStore reads_pr, reads_dc, reads_sn;
   std::string err_msg;               // last error text for the C API
   int err_code = -1;
+  // parallel-parse shard mode: warnings and -b rows are buffered in
+  // file order instead of written, and replayed at merge time so the
+  // observable output is byte-identical to a sequential parse
+  bool shard_mode = false;
+  bool shard_bed = false;            // parent has a -b log open
+  struct WarnEntry { bool capped; std::string text; };
+  std::vector<WarnEntry> warn_buf;   // capped entries: first MAX_ALNS
+  std::string bed_buf;               // buffered -b rows
+  // totalLen terms, (frag_len, count): the sequential accumulation is
+  // `total_len += (double)frag_len / count` in file order, which is
+  // NOT associative across shard partial sums; shards record the
+  // terms and the merge replays the divisions+adds in file order so
+  // the double is bit-identical to a sequential parse
+  std::vector<std::pair<uint64_t, uint8_t>> len_terms;
 };
+
+// Warning printf: sequential contexts write straight to stderr;
+// shards buffer (capped == counts against the global err_count cap).
+void warnf(Context* c, bool capped, const char* fmt, ...) {
+  va_list ap;
+  va_start(ap, fmt);
+  if (!c->shard_mode) {
+    vfprintf(stderr, fmt, ap);
+  } else {
+    char buf[512];
+    vsnprintf(buf, sizeof buf, fmt, ap);
+    c->warn_buf.push_back({capped, std::string(buf)});
+  }
+  va_end(ap);
+}
 
 void outf(Context* c, gzFile gz, FILE* f, const char* fmt, ...) {
   char buf[4096];
@@ -192,6 +224,19 @@ void outf(Context* c, gzFile gz, FILE* f, const char* fmt, ...) {
   va_end(ap);
   if (gz) gzputs(gz, buf);
   else if (f) fputs(buf, f);
+}
+
+// -b row: shards buffer (replayed in file order at merge, so the gz
+// byte stream is identical to a sequential run); otherwise direct
+void bed_rowf(Context* c, const char* fmt, ...) {
+  char buf[4096];
+  va_list ap;
+  va_start(ap, fmt);
+  vsnprintf(buf, sizeof buf, fmt, ap);
+  va_end(ap);
+  if (c->shard_mode) c->bed_buf += buf;
+  else if (c->bed_out) gzputs(c->bed_out, buf);
+  else if (c->bed_out_f) fputs(buf, c->bed_out_f);
 }
 
 // ---- exclusion regions ---------------------------------------------
@@ -263,8 +308,8 @@ uint32_t save_interval(Context* c, int ci, int64_t start, int64_t end,
   if (start < 0) {
     if (c->opt.verbose) {
       if (c->ctr.err_count < (uint64_t)MAX_ALNS)
-        fprintf(stderr, "Warning! Read %s prevented from extending "
-                "below 0 on %s\n", qname.c_str(), ch.name.c_str());
+        warnf(c, true, "Warning! Read %s prevented from extending "
+              "below 0 on %s\n", qname.c_str(), ch.name.c_str());
       c->ctr.err_count++;
     }
     start = 0;
@@ -274,9 +319,9 @@ uint32_t save_interval(Context* c, int ci, int64_t start, int64_t end,
   if (end > (int64_t)ch.len) {
     if (c->opt.verbose) {
       if (c->ctr.err_count < (uint64_t)MAX_ALNS)
-        fprintf(stderr, "Warning! Read %s prevented from extending "
-                "past %u on %s\n", qname.c_str(), ch.len,
-                ch.name.c_str());
+        warnf(c, true, "Warning! Read %s prevented from extending "
+              "past %u on %s\n", qname.c_str(), ch.len,
+              ch.name.c_str());
       c->ctr.err_count++;
     }
     end = ch.len;
@@ -285,10 +330,10 @@ uint32_t save_interval(Context* c, int ci, int64_t start, int64_t end,
   ev.start.push_back(start);
   ev.end.push_back(end);
   ev.count.push_back(count);
-  if (c->bed_out || c->bed_out_f)
-    outf(c, c->bed_out, c->bed_out_f, "%s\t%ld\t%ld\t%s_%d_%c_%d\n",
-         ch.name.c_str(), (long)start, (long)end, qname.c_str(),
-         (int)count, c->ctrl ? 'C' : 'E', c->sample);
+  if (c->bed_out || c->bed_out_f || (c->shard_mode && c->shard_bed))
+    bed_rowf(c, "%s\t%ld\t%ld\t%s_%d_%c_%d\n",
+             ch.name.c_str(), (long)start, (long)end, qname.c_str(),
+             (int)count, c->ctrl ? 'C' : 'E', c->sample);
   return (uint32_t)(end - start);
 }
 
@@ -396,7 +441,10 @@ int process_pair(Context* c, const NameRef& q, const Aln* alns,
     fail("Saved " + std::to_string(saved) + " alignments for read "
          + q.str() + "; should have been " + std::to_string(count),
          ERRISSUE);
-  c->ctr.total_len += (double)frag_len / count;
+  if (c->shard_mode)
+    c->len_terms.emplace_back(frag_len, count);
+  else
+    c->ctr.total_len += (double)frag_len / count;
   return 1;
 }
 
@@ -1213,6 +1261,24 @@ int bgzf_threads() {
   return hw >= 2 ? (int)(hw < 8 ? hw : 8) : 0;
 }
 
+int parse_threads() {
+  // Record-parse worker threads (GENRICH_INGEST_THREADS=n; 0/1 =
+  // sequential).  Default: cores-2 on >=4-core machines (leaving the
+  // walker thread and the BGZF inflate workers a core), capped at
+  // 16; sequential below that — measured on a 2-core box the
+  // walker/worker split's extra stream copy loses to the plain loop
+  // once libdeflate makes inflate cheap.
+  const char* e = getenv("GENRICH_INGEST_THREADS");
+  if (e && *e) {
+    int v = atoi(e);
+    return v < 0 ? 0 : (v > 32 ? 32 : v);
+  }
+  unsigned hw = std::thread::hardware_concurrency();
+  if (hw < 4) return 0;
+  unsigned w = hw - 2;
+  return (int)(w < 16 ? w : 16);
+}
+
 struct BgzfMT {
   FILE* f;
   struct Slot {
@@ -1299,9 +1365,16 @@ struct BgzfMT {
     return true;
   }
 
+  // one-block raw-deflate inflate + CRC check; libdeflate when
+  // available (~2x zlib on BGZF-sized blocks), zlib otherwise
   void worker() {
+#ifdef USE_LIBDEFLATE
+    struct libdeflate_decompressor* dec =
+        libdeflate_alloc_decompressor();
+#else
     z_stream z{};
     inflateInit2(&z, -15);
+#endif
     std::unique_lock<std::mutex> lk(mu);
     for (;;) {
       cv_work.wait(lk, [&] { return shutdown_ || !work.empty(); });
@@ -1311,6 +1384,15 @@ struct BgzfMT {
       Slot& s = ring[seq % ring.size()];
       lk.unlock();
       s.out.resize(s.isize);
+#ifdef USE_LIBDEFLATE
+      size_t actual = 0;
+      auto r = libdeflate_deflate_decompress(
+          dec, s.comp.data(), s.comp_len, s.out.data(), s.isize,
+          &actual);
+      s.out_len = s.isize;
+      s.bad = !(r == LIBDEFLATE_SUCCESS && actual == s.isize &&
+                libdeflate_crc32(0, s.out.data(), s.isize) == s.crc);
+#else
       inflateReset(&z);
       z.next_in = s.comp.data();
       z.avail_in = (uInt)s.comp_len;
@@ -1321,12 +1403,17 @@ struct BgzfMT {
       s.bad = !(r == Z_STREAM_END && z.avail_out == 0 &&
                 crc32(crc32(0, nullptr, 0), s.out.data(),
                       (uInt)s.isize) == s.crc);
+#endif
       lk.lock();
       s.state = 2;
       cv_done.notify_all();
     }
     lk.unlock();
+#ifdef USE_LIBDEFLATE
+    libdeflate_free_decompressor(dec);
+#else
     inflateEnd(&z);
+#endif
   }
 
   // gzread-alike: blocks until `cap` bytes or EOF/corruption.
@@ -1521,6 +1608,221 @@ struct NameMap {
   }
 };
 
+// ---- parallel record parsing ----------------------------------------
+//
+// SAM/BAM semantics are order-dependent only at queryname-group
+// granularity (group assembly, multimapper selection, dedup
+// buffering, file-order tie-breaks).  The caller thread therefore
+// only *frames* records and detects group boundaries — replicating
+// exactly the unmapped/supp/MAPQ pre-filters and the truncated-name
+// comparison the record parser itself applies — and cuts the stream
+// into multi-MB spans that always end on a group boundary.  Worker
+// threads parse spans into shard Contexts (events, counters, dedup
+// stores, buffered warnings/-b rows); the caller merges completed
+// shards strictly in span order, so every observable output —
+// counters, event order, dedup stores and their file-order
+// tie-breaks, warning text and its MAX_ALNS cap, -b bytes, even the
+// non-associative totalLen double — is bit-identical to a
+// sequential parse.  The reference is single-threaded
+// (/root/reference/Genrich.c:4869-4943 readSAM/readBAM); this
+// parallel decomposition is TPU-framework-native design, not a port.
+
+size_t span_bytes() {                    // span target size
+  // GENRICH_INGEST_SPAN overrides (tests use tiny spans to force
+  // group-boundary cuts and multi-span merging on small files)
+  static const size_t v = [] {
+    const char* e = getenv("GENRICH_INGEST_SPAN");
+    if (e && *e) {
+      long n = atol(e);
+      if (n > 0) return (size_t)n;
+    }
+    return (size_t)(4 << 20);
+  }();
+  return v;
+}
+
+std::unique_ptr<Context> make_shard(const Context* c) {
+  auto s = std::unique_ptr<Context>(new Context());
+  s->chroms = c->chroms;
+  s->opt = c->opt;
+  s->ctrl = c->ctrl;
+  s->sample = c->sample;
+  s->events.resize(c->chroms.size());
+  s->shard_mode = true;
+  s->shard_bed = (c->bed_out || c->bed_out_f);
+  return s;
+}
+
+void add_counters(Counters* a, const Counters& b) {
+  a->count += b.count; a->unmapped += b.unmapped;
+  a->paired += b.paired; a->single_ += b.single_;
+  a->orphan += b.orphan; a->paired_pr += b.paired_pr;
+  a->single_pr += b.single_pr; a->supp += b.supp;
+  a->skipped += b.skipped; a->low_mapq += b.low_mapq;
+  a->sec_pair += b.sec_pair; a->sec_single += b.sec_single;
+  a->count_pr += b.count_pr; a->dups_pr += b.dups_pr;
+  a->count_dc += b.count_dc; a->dups_dc += b.dups_dc;
+  a->count_sn += b.count_sn; a->dups_sn += b.dups_sn;
+}
+
+void merge_store(ReadStore* dst, const ReadStore& src) {
+  uint32_t aln_base = (uint32_t)dst->alns.size();
+  uint32_t name_base = (uint32_t)dst->names.size();
+  dst->alns.insert(dst->alns.end(), src.alns.begin(),
+                   src.alns.end());
+  dst->names.append(src.names);
+  size_t m0 = dst->meta.size();
+  dst->meta.insert(dst->meta.end(), src.meta.begin(),
+                   src.meta.end());
+  for (size_t i = m0; i < dst->meta.size(); i++) {
+    dst->meta[i].aln_off += aln_base;
+    dst->meta[i].aln2_off += aln_base;
+    dst->meta[i].name_off += name_base;
+  }
+}
+
+void merge_shard(Context* c, Context* s) {
+  // warnings exactly as a sequential run would have printed them:
+  // uncapped always, capped while the GLOBAL err_count is under the
+  // cap (the shard buffered its first MAX_ALNS capped texts, a
+  // superset of what can still print)
+  uint64_t base = c->ctr.err_count, seen = 0;
+  for (auto& w : s->warn_buf) {
+    if (!w.capped) { fputs(w.text.c_str(), stderr); continue; }
+    if (base + seen < (uint64_t)MAX_ALNS)
+      fputs(w.text.c_str(), stderr);
+    seen++;
+  }
+  c->ctr.err_count += s->ctr.err_count;
+  add_counters(&c->ctr, s->ctr);
+  for (auto& t : s->len_terms)   // file-order replay: bit-exact
+    c->ctr.total_len += (double)t.first / t.second;
+  for (size_t ci = 0; ci < s->events.size(); ci++) {
+    EventBuf& d = c->events[ci];
+    EventBuf& e = s->events[ci];
+    d.start.insert(d.start.end(), e.start.begin(), e.start.end());
+    d.end.insert(d.end.end(), e.end.begin(), e.end.end());
+    d.count.insert(d.count.end(), e.count.begin(), e.count.end());
+  }
+  for (auto& u : s->unpair) c->unpair.push_back(std::move(u));
+  merge_store(&c->reads_pr, s->reads_pr);
+  merge_store(&c->reads_dc, s->reads_dc);
+  merge_store(&c->reads_sn, s->reads_sn);
+  if (!s->bed_buf.empty()) {
+    if (c->bed_out) gzwrite(c->bed_out, s->bed_buf.data(),
+                            (unsigned)s->bed_buf.size());
+    else if (c->bed_out_f) fwrite(s->bed_buf.data(), 1,
+                                  s->bed_buf.size(), c->bed_out_f);
+  }
+}
+
+// Work pool: the caller produces spans (next_span) and merges results
+// in span order; workers run parse_span on shard contexts.  The first
+// erroring span (in span order) wins, exactly like a sequential stop.
+template <typename NextSpan, typename ParseSpan>
+void run_parse_pool(Context* c, int n_workers, NextSpan&& next_span,
+                    ParseSpan&& parse_span) {
+  struct Item { uint64_t idx; std::string bytes; };
+  std::mutex mu;
+  std::condition_variable cv_work, cv_res;
+  std::deque<Item> queue;
+  bool done = false;
+  std::vector<std::unique_ptr<Context>> results;
+  const size_t max_q = (size_t)n_workers * 2;
+
+  auto worker = [&]() {
+    for (;;) {
+      Item it;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_work.wait(lk, [&] { return done || !queue.empty(); });
+        if (queue.empty()) return;
+        it = std::move(queue.front());
+        queue.pop_front();
+        cv_work.notify_all();    // wake a blocked producer
+      }
+      auto s = make_shard(c);
+      try {
+        parse_span(s.get(), it.bytes);
+        flush_group(s.get());
+      } catch (const IngestError& e) {
+        s->err_code = e.code;
+        s->err_msg = e.msg;
+      }
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        if (results.size() <= it.idx) results.resize(it.idx + 1);
+        results[it.idx] = std::move(s);
+        cv_res.notify_all();
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int i = 0; i < n_workers; i++) threads.emplace_back(worker);
+
+  uint64_t next_idx = 0, merged = 0;
+  int err_code = -1;
+  std::string err_msg;
+  auto drain_ready = [&](bool wait_all) {
+    // merge completed shards in span order (caller thread)
+    std::unique_lock<std::mutex> lk(mu);
+    for (;;) {
+      if (merged == next_idx && !wait_all) return;
+      if (merged == next_idx) return;
+      if (results.size() <= merged || !results[merged]) {
+        if (!wait_all) return;
+        cv_res.wait(lk, [&] {
+          return results.size() > merged && bool(results[merged]);
+        });
+      }
+      auto s = std::move(results[merged]);
+      merged++;
+      lk.unlock();
+      if (err_code < 0) {
+        if (s->err_code >= 0) {
+          err_code = s->err_code;
+          err_msg = s->err_msg;
+        } else {
+          merge_shard(c, s.get());
+        }
+      }
+      s.reset();
+      lk.lock();
+    }
+  };
+
+  try {
+    std::string bytes;
+    while (err_code < 0 && next_span(&bytes)) {
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_work.wait(lk, [&] { return queue.size() < max_q; });
+        queue.push_back({next_idx++, std::move(bytes)});
+        cv_work.notify_one();
+      }
+      bytes.clear();
+      drain_ready(false);
+    }
+  } catch (...) {
+    // producer failed (I/O/framing error): stop workers, rethrow
+    {
+      std::unique_lock<std::mutex> lk(mu);
+      done = true;
+      cv_work.notify_all();
+    }
+    for (auto& t : threads) t.join();
+    throw;
+  }
+  {
+    std::unique_lock<std::mutex> lk(mu);
+    done = true;
+    cv_work.notify_all();
+  }
+  drain_ready(true);
+  for (auto& t : threads) t.join();
+  if (err_code >= 0) throw IngestError{err_code, err_msg};
+}
+
 void check_sam_header(Context* c, char* line) {
   char* save;
   char* tag = strtok_r(line, "\t\n", &save);
@@ -1544,79 +1846,199 @@ void check_sam_header(Context* c, char* line) {
   }
 }
 
-uint64_t read_sam(Context* c, Reader& rd) {
-  char* line;
-  bool past_header = false;
+// one SAM record line (NUL-terminatable, '\n' stripped, length len);
+// shared by the sequential reader and the parallel span workers
+void parse_sam_line(Context* c, char* line, size_t len,
+                    const NameMap& cmap) {
+  if (line[0] == '@')
+    // the reference's payload is the fgets line incl. '\n'
+    fail(std::string(line) + "\n", ERRHEAD);
+  // tokenize 11 fields + extra (single-delimiter memchr scan, ~3x
+  // faster than strtok_r's per-call delimiter-set walk; delimiter
+  // runs are skipped exactly like strtok)
+  char* f[11];
+  char* p = line;
+  char* lend = line + len;
+  bool f0_last = false;   // f[0] ran to end of line (the
+                          // reference's strtok token keeps '\n')
+  for (int i = 0; i < 11; i++) {
+    while (p < lend && *p == '\t') p++;
+    if (p >= lend)
+      fail(i == 0 ? std::string("\n")
+           : (i == 1 && f0_last ? std::string(f[0]) + "\n"
+                                : std::string(f[0])), ERRSAM);
+    f[i] = p;
+    char* t = (char*)memchr(p, '\t', (size_t)(lend - p));
+    if (t) { *t = '\0'; p = t + 1; }
+    else { p = lend; if (i == 0) f0_last = true; }
+  }
+  char* extra = p < lend ? p : nullptr;
+  const char* qn = f[0];
+  uint16_t flag = (uint16_t)get_long(f[1]);
+  const char* rname = f[2];
+  uint32_t pos = (uint32_t)(get_long(f[3]) - 1);
+  uint8_t mapq = (uint8_t)get_long(f[4]);
+  char* cigar = f[5];
+  uint32_t pnext = (uint32_t)(get_long(f[7]) - 1);
+  const char* seq = f[9];
+  char* qual = f[10];
+  size_t ql = strlen(qual);
+
+  if (flag & 0x4) { c->ctr.unmapped++; return; }
+  if ((qn[0] == '*' && !qn[1]) || (rname[0] == '*' && !rname[1]))
+    fail(qn, ERRSAM);
+  if (flag & 0xE00) { c->ctr.supp++; return; }
+  int ci = cmap.find(rname);
+  if (ci < 0) fail(rname, ERRCHROM);
+  if (mapq < c->opt.min_mapq) { c->ctr.low_mapq++; return; }
+
+  if (c->read_name.empty()
+      || strcmp(qn, c->read_name.c_str()) != 0) {
+    flush_group(c);
+    c->read_name.assign(qn, strnlen(qn, MAX_ALNS));
+  }
+  int length = calc_dist(c->read_name, seq, cigar);
+  float score = sam_score(extra);
+  bool star = qual[0] == '*' && !qual[1];
+  if (!parse_align(c, flag, ci, pos, length, pnext, score,
+                   (const uint8_t*)qual, (int)ql, 33, star)
+      && c->opt.verbose)
+    warnf(c, false, "Warning! Read %s has more than %d alignments\n",
+          c->read_name.c_str(), MAX_ALNS);
+}
+
+uint64_t read_sam_seq(Context* c, Reader& rd, char* first_line,
+                      size_t first_len, const NameMap& cmap) {
+  // sequential tail: first record line already read by the caller
   uint64_t count = 0;
-  NameMap cmap;              // built once the header is complete
-  bool cmap_built = false;
   c->read_name.clear();
-  while ((line = rd.line()) != nullptr) {
-    if (line[0] == '@') {
-      // the reference's payload is the fgets line incl. '\n'
-      if (past_header) fail(std::string(line) + "\n", ERRHEAD);
-      check_sam_header(c, line);
-      continue;
-    }
-    past_header = true;
-    // tokenize 11 fields + extra (single-delimiter memchr scan, ~3x
-    // faster than strtok_r's per-call delimiter-set walk; delimiter
-    // runs are skipped exactly like strtok)
-    char* f[11];
-    char* p = line;
-    char* lend = line + rd.last_len;
-    bool f0_last = false;   // f[0] ran to end of line (the
-                            // reference's strtok token keeps '\n')
-    for (int i = 0; i < 11; i++) {
-      while (p < lend && *p == '\t') p++;
-      if (p >= lend)
-        fail(i == 0 ? std::string("\n")
-             : (i == 1 && f0_last ? std::string(f[0]) + "\n"
-                                  : std::string(f[0])), ERRSAM);
-      f[i] = p;
-      char* t = (char*)memchr(p, '\t', (size_t)(lend - p));
-      if (t) { *t = '\0'; p = t + 1; }
-      else { p = lend; if (i == 0) f0_last = true; }
-    }
-    char* extra = p < lend ? p : nullptr;
-    const char* qn = f[0];
-    uint16_t flag = (uint16_t)get_long(f[1]);
-    const char* rname = f[2];
-    uint32_t pos = (uint32_t)(get_long(f[3]) - 1);
-    uint8_t mapq = (uint8_t)get_long(f[4]);
-    char* cigar = f[5];
-    uint32_t pnext = (uint32_t)(get_long(f[7]) - 1);
-    const char* seq = f[9];
-    char* qual = f[10];
-    size_t ql = strlen(qual);
-
+  char* line = first_line;
+  size_t len = first_len;
+  while (line != nullptr) {
     count++;
-    if (flag & 0x4) { c->ctr.unmapped++; continue; }
-    if ((qn[0] == '*' && !qn[1]) || (rname[0] == '*' && !rname[1]))
-      fail(qn, ERRSAM);
-    if (flag & 0xE00) { c->ctr.supp++; continue; }
-    if (!cmap_built) { cmap.build(c->chroms); cmap_built = true; }
-    int ci = cmap.find(rname);
-    if (ci < 0) fail(rname, ERRCHROM);
-    if (mapq < c->opt.min_mapq) { c->ctr.low_mapq++; continue; }
-
-    if (c->read_name.empty()
-        || strcmp(qn, c->read_name.c_str()) != 0) {
-      flush_group(c);
-      c->read_name.assign(qn, strnlen(qn, MAX_ALNS));
-    }
-    int length = calc_dist(c->read_name, seq, cigar);
-    float score = sam_score(extra);
-    bool star = qual[0] == '*' && !qual[1];
-    if (!parse_align(c, flag, ci, pos, length, pnext, score,
-                     (const uint8_t*)qual, (int)ql, 33, star)
-        && c->opt.verbose)
-      fprintf(stderr, "Warning! Read %s has more than %d alignments\n",
-              c->read_name.c_str(), MAX_ALNS);
+    parse_sam_line(c, line, len, cmap);
+    line = rd.line();
+    len = rd.last_len;
   }
   flush_group(c);
   c->read_name.clear();
   return count;
+}
+
+// Caller-thread walker for SAM: frames lines, replicates the
+// pre-filters + group comparison of parse_sam_line to cut spans on
+// group boundaries, and feeds run_parse_pool.
+uint64_t read_sam_parallel(Context* c, Reader& rd, char* first_line,
+                           size_t first_len, const NameMap& cmap,
+                           int n_workers) {
+  uint64_t count = 0;
+  std::string prev;               // group name (MAX_ALNS-truncated)
+  char* line = first_line;
+  size_t len = first_len;
+  bool line_ready = true;
+
+  auto next_span = [&](std::string* out) -> bool {
+    if (!line_ready) return false;
+    out->clear();
+    while (line_ready) {
+      // classification: the same unmapped/supp/MAPQ filters and
+      // truncated-name strcmp parse_sam_line applies; malformed
+      // lines classify as irrelevant (the worker will fail there)
+      bool relevant = false;
+      const char* qn = nullptr;
+      size_t qlen = 0;
+      {
+        const char* p = line;
+        const char* lend = line + len;
+        const char* f[5];
+        size_t flen[5];
+        int got = 0;
+        for (int i = 0; i < 5; i++) {
+          while (p < lend && *p == '\t') p++;
+          if (p >= lend) break;
+          f[i] = p;
+          const char* t = (const char*)memchr(p, '\t',
+                                              (size_t)(lend - p));
+          flen[i] = t ? (size_t)(t - p) : (size_t)(lend - p);
+          p = t ? t + 1 : lend;
+          got++;
+        }
+        if (got == 5 && line[0] != '@') {
+          long flag = 0, mapq = 0;
+          for (size_t k = 0; k < flen[1]; k++) {
+            char ch = f[1][k];
+            if (ch < '0' || ch > '9') break;
+            flag = flag * 10 + (ch - '0');
+          }
+          for (size_t k = 0; k < flen[4]; k++) {
+            char ch = f[4][k];
+            if (ch < '0' || ch > '9') break;
+            mapq = mapq * 10 + (ch - '0');
+          }
+          relevant = !(flag & 0x4) && !(flag & 0xE00)
+                     && (uint8_t)mapq >= c->opt.min_mapq;
+          qn = f[0];
+          qlen = flen[0];
+        }
+      }
+      if (relevant) {
+        bool new_group = prev.empty() || qlen != prev.size()
+                         || memcmp(qn, prev.data(), qlen) != 0;
+        if (new_group) {
+          if (out->size() >= span_bytes())
+            return true;       // current line starts the next span
+          prev.assign(qn, qlen < (size_t)MAX_ALNS ? qlen
+                                                  : (size_t)MAX_ALNS);
+        }
+      }
+      out->append(line, len);
+      out->push_back('\n');
+      count++;
+      line = rd.line();
+      if (!line) {
+        line_ready = false;
+        return !out->empty();
+      }
+      len = rd.last_len;
+    }
+    return !out->empty();
+  };
+
+  auto parse_span = [&](Context* s, std::string& bytes) {
+    char* p = &bytes[0];
+    char* end = p + bytes.size();
+    while (p < end) {
+      char* nl = (char*)memchr(p, '\n', (size_t)(end - p));
+      size_t ll = (size_t)(nl - p);
+      *nl = '\0';
+      parse_sam_line(s, p, ll, cmap);
+      p = nl + 1;
+    }
+  };
+
+  run_parse_pool(c, n_workers, next_span, parse_span);
+  c->read_name.clear();
+  return count;
+}
+
+uint64_t read_sam(Context* c, Reader& rd) {
+  char* line;
+  NameMap cmap;              // built once the header is complete
+  c->read_name.clear();
+  while ((line = rd.line()) != nullptr) {
+    if (line[0] == '@') {
+      check_sam_header(c, line);
+      continue;
+    }
+    break;                   // first record line
+  }
+  if (line == nullptr) return 0;
+  cmap.build(c->chroms);
+  int n_workers = parse_threads();
+  if (n_workers >= 2)
+    return read_sam_parallel(c, rd, line, rd.last_len, cmap,
+                             n_workers);
+  return read_sam_seq(c, rd, line, rd.last_len, cmap);
 }
 
 // ---- BAM parsing ----------------------------------------------------
@@ -1686,6 +2108,144 @@ float bam_score(const uint8_t* extra, int len) {
   return NOSCORE;
 }
 
+// one BAM alignment record (shared by the sequential reader and the
+// parallel span workers); b points at the block body of block_size
+// bytes, idx maps BAM ref ids -> registry chrom indices
+void parse_bam_record(Context* c, const uint8_t* b,
+                      int32_t block_size,
+                      const std::vector<int>& idx) {
+  int n_ref = (int)idx.size();
+  auto rd32 = [&](int off) {
+    return (int32_t)(b[off] | (b[off+1] << 8) | (b[off+2] << 16)
+                     | ((uint32_t)b[off+3] << 24));
+  };
+  int32_t ref_id = rd32(0);
+  int32_t pos = rd32(4);
+  uint32_t bin_mq_nl = (uint32_t)rd32(8);
+  int l_read_name = bin_mq_nl & 0xFF;
+  uint8_t mapq = (bin_mq_nl >> 8) & 0xFF;
+  uint32_t flag_nc = (uint32_t)rd32(12);
+  int n_cigar = flag_nc & 0xFFFF;
+  uint16_t flag = (flag_nc >> 16) & 0xFFFF;
+  int32_t l_seq = rd32(16);
+  int32_t next_pos = rd32(24);
+  int off = 32;
+  const char* rn = (const char*)b + off;
+  size_t rl = strnlen(rn, l_read_name);
+  off += l_read_name;
+  const uint8_t* cigar = b + off;
+  off += n_cigar * 4;
+  off += (l_seq + 1) / 2;
+  const uint8_t* qual = b + off;
+  off += l_seq;
+  if (off > block_size) fail("", ERRBAM);
+  const uint8_t* extra = b + off;
+  int extra_len = block_size - off;
+
+  if (flag & 0x4) { c->ctr.unmapped++; return; }
+  if ((rl == 1 && rn[0] == '*') || ref_id < 0 || ref_id >= n_ref
+      || idx[ref_id] < 0 || idx[ref_id] >= (int)c->chroms.size()
+      || pos < 0)
+    fail(std::string(rn, rl), ERRSAM);
+  if (flag & 0xE00) { c->ctr.supp++; return; }
+  if (mapq < c->opt.min_mapq) { c->ctr.low_mapq++; return; }
+
+  // full name vs the MAX_ALNS-truncated stored one, like the
+  // reference's strcmp against its char[MAX_ALNS] buffer
+  if (c->read_name.size() != rl
+      || memcmp(rn, c->read_name.data(), rl) != 0) {
+    flush_group(c);
+    c->read_name.assign(rn, rl < (size_t)MAX_ALNS
+                        ? rl : (size_t)MAX_ALNS);
+  }
+  // calcDistBAM
+  int length = l_seq;
+  for (int k = 0; k < n_cigar; k++) {
+    uint32_t cg = cigar[4*k] | (cigar[4*k+1] << 8)
+                | (cigar[4*k+2] << 16)
+                | ((uint32_t)cigar[4*k+3] << 24);
+    uint32_t op = cg & 0xF, opl = cg >> 4;
+    if (op == 1 || op == 4) length -= opl;
+    else if (op == 2) length += opl;
+  }
+  float score = bam_score(extra, extra_len);
+  bool star = l_seq >= 1 && qual[0] == '*'
+              && (l_seq < 2 || qual[1] == 0);
+  if (!parse_align(c, flag, idx[ref_id], (uint32_t)pos, length,
+                   (uint32_t)next_pos, score, qual, l_seq, 0, star)
+      && c->opt.verbose)
+    warnf(c, false, "Warning! Read %s has more than %d alignments\n",
+          c->read_name.c_str(), MAX_ALNS);
+}
+
+// Caller-thread walker for BAM: frames size-prefixed records,
+// replicates parse_bam_record's pre-filters + truncated-name
+// comparison for group detection, cuts spans on group boundaries.
+uint64_t read_bam_parallel(Context* c, Reader& rd,
+                           const std::vector<int>& idx,
+                           int n_workers) {
+  uint64_t count = 0;
+  std::string prev;
+  std::string carry;      // consumed record belonging to the next span
+  bool at_eof = false;
+
+  auto next_span = [&](std::string* out) -> bool {
+    if (at_eof && carry.empty()) return false;
+    out->clear();
+    if (!carry.empty()) {
+      out->swap(carry);
+      carry.clear();
+    }
+    for (;;) {
+      bool eof = false;
+      int32_t bs = read_i32(rd, false, &eof);
+      if (eof) { at_eof = true; return !out->empty(); }
+      if (bs < (int32_t)(6 * 4 + 2 * 4)) fail("", ERRBAM);
+      const uint8_t* b = rd.take((size_t)bs);
+      if (!b) fail("", ERRBAM);
+      count++;
+      uint32_t bin_mq_nl = (uint32_t)(b[8] | (b[9] << 8)
+                 | (b[10] << 16) | ((uint32_t)b[11] << 24));
+      int l_read_name = bin_mq_nl & 0xFF;
+      uint8_t mapq = (bin_mq_nl >> 8) & 0xFF;
+      uint16_t flag = (uint16_t)(b[14] | (b[15] << 8));
+      bool relevant = !(flag & 0x4) && !(flag & 0xE00)
+                      && mapq >= c->opt.min_mapq;
+      bool cut = false;
+      if (relevant) {
+        const char* rn = (const char*)b + 32;
+        size_t rl = strnlen(rn, l_read_name);
+        if (prev.size() != rl || memcmp(rn, prev.data(), rl) != 0) {
+          prev.assign(rn, rl < (size_t)MAX_ALNS ? rl
+                                                : (size_t)MAX_ALNS);
+          cut = out->size() >= span_bytes();
+        }
+      }
+      std::string* dst = cut ? &carry : out;
+      uint32_t bs_le = (uint32_t)bs;
+      dst->append((const char*)&bs_le, 4);
+      dst->append((const char*)b, (size_t)bs);
+      if (cut) return true;
+    }
+  };
+
+  auto parse_span = [&](Context* s, std::string& bytes) {
+    const uint8_t* p = (const uint8_t*)bytes.data();
+    const uint8_t* end = p + bytes.size();
+    while (p < end) {
+      uint32_t bs;
+      memcpy(&bs, p, 4);
+      p += 4;
+      parse_bam_record(s, p, (int32_t)bs, idx);
+      p += bs;
+    }
+  };
+
+  run_parse_pool(c, n_workers, next_span, parse_span);
+  c->read_name.clear();
+  return count;
+}
+
 uint64_t read_bam(Context* c, Reader& rd) {
   bool eof = false;
   int32_t l_text = read_i32(rd, true, &eof);
@@ -1719,82 +2279,28 @@ uint64_t read_bam(Context* c, Reader& rd) {
     idx[i] = save_chrom(c, nb.data(), l_ref);
   }
 
-  uint64_t count = 0;
-  c->read_name.clear();
-  for (;;) {
-    eof = false;
-    int32_t block_size = read_i32(rd, false, &eof);
-    if (eof) break;
-    if (block_size < (int32_t)(6 * 4 + 2 * 4)) fail("", ERRBAM);
-    // parse in place from the reader buffer (no per-record copy);
-    // nothing below retains pointers past this iteration
-    const uint8_t* b = rd.take((size_t)block_size);
-    if (!b) fail("", ERRBAM);
-    auto rd32 = [&](int off) {
-      return (int32_t)(b[off] | (b[off+1] << 8) | (b[off+2] << 16)
-                       | ((uint32_t)b[off+3] << 24));
-    };
-    int32_t ref_id = rd32(0);
-    int32_t pos = rd32(4);
-    uint32_t bin_mq_nl = (uint32_t)rd32(8);
-    int l_read_name = bin_mq_nl & 0xFF;
-    uint8_t mapq = (bin_mq_nl >> 8) & 0xFF;
-    uint32_t flag_nc = (uint32_t)rd32(12);
-    int n_cigar = flag_nc & 0xFFFF;
-    uint16_t flag = (flag_nc >> 16) & 0xFFFF;
-    int32_t l_seq = rd32(16);
-    int32_t next_pos = rd32(24);
-    int off = 32;
-    const char* rn = (const char*)b + off;
-    size_t rl = strnlen(rn, l_read_name);
-    off += l_read_name;
-    const uint8_t* cigar = b + off;
-    off += n_cigar * 4;
-    off += (l_seq + 1) / 2;
-    const uint8_t* qual = b + off;
-    off += l_seq;
-    if (off > block_size) fail("", ERRBAM);
-    const uint8_t* extra = b + off;
-    int extra_len = block_size - off;
-
-    count++;
-    if (flag & 0x4) { c->ctr.unmapped++; continue; }
-    if ((rl == 1 && rn[0] == '*') || ref_id < 0 || ref_id >= n_ref
-        || idx[ref_id] < 0 || idx[ref_id] >= (int)c->chroms.size()
-        || pos < 0)
-      fail(std::string(rn, rl), ERRSAM);
-    if (flag & 0xE00) { c->ctr.supp++; continue; }
-    if (mapq < c->opt.min_mapq) { c->ctr.low_mapq++; continue; }
-
-    // full name vs the MAX_ALNS-truncated stored one, like the
-    // reference's strcmp against its char[MAX_ALNS] buffer
-    if (c->read_name.size() != rl
-        || memcmp(rn, c->read_name.data(), rl) != 0) {
-      flush_group(c);
-      c->read_name.assign(rn, rl < (size_t)MAX_ALNS
-                          ? rl : (size_t)MAX_ALNS);
+  int n_workers = parse_threads();
+  uint64_t count;
+  if (n_workers >= 2)
+    count = read_bam_parallel(c, rd, idx, n_workers);
+  else {
+    count = 0;
+    c->read_name.clear();
+    for (;;) {
+      eof = false;
+      int32_t block_size = read_i32(rd, false, &eof);
+      if (eof) break;
+      if (block_size < (int32_t)(6 * 4 + 2 * 4)) fail("", ERRBAM);
+      // parse in place from the reader buffer (no per-record copy);
+      // nothing below retains pointers past this iteration
+      const uint8_t* b = rd.take((size_t)block_size);
+      if (!b) fail("", ERRBAM);
+      count++;
+      parse_bam_record(c, b, block_size, idx);
     }
-    // calcDistBAM
-    int length = l_seq;
-    for (int k = 0; k < n_cigar; k++) {
-      uint32_t cg = cigar[4*k] | (cigar[4*k+1] << 8)
-                  | (cigar[4*k+2] << 16)
-                  | ((uint32_t)cigar[4*k+3] << 24);
-      uint32_t op = cg & 0xF, opl = cg >> 4;
-      if (op == 1 || op == 4) length -= opl;
-      else if (op == 2) length += opl;
-    }
-    float score = bam_score(extra, extra_len);
-    bool star = l_seq >= 1 && qual[0] == '*'
-                && (l_seq < 2 || qual[1] == 0);
-    if (!parse_align(c, flag, idx[ref_id], (uint32_t)pos, length,
-                     (uint32_t)next_pos, score, qual, l_seq, 0, star)
-        && c->opt.verbose)
-      fprintf(stderr, "Warning! Read %s has more than %d alignments\n",
-              c->read_name.c_str(), MAX_ALNS);
+    flush_group(c);
+    c->read_name.clear();
   }
-  flush_group(c);
-  c->read_name.clear();
   return count;
 }
 

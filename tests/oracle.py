@@ -39,12 +39,13 @@ def run_oracle(args: List[str], cwd: str) -> subprocess.CompletedProcess:
                           capture_output=True, text=True)
 
 
-def run_ours(args: List[str], cwd: str) -> subprocess.CompletedProcess:
+def run_ours(args: List[str], cwd: str,
+             env=None) -> subprocess.CompletedProcess:
     import sys
     return subprocess.run(
         [sys.executable, "-m", "genrich_tpu"] + args, cwd=cwd,
         capture_output=True, text=True,
-        env={**os.environ, "PYTHONPATH": REPO})
+        env={**os.environ, **(env or {}), "PYTHONPATH": REPO})
 
 
 # --- synthetic data -------------------------------------------------

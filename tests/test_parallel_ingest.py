@@ -1,0 +1,101 @@
+"""Parallel record parsing (native walker + span workers).
+
+Byte-parity vs the sequential parse, with GENRICH_INGEST_SPAN shrunk
+so even small fixtures split into many spans and every merge path is
+exercised: counters, event order, dedup stores (file-order
+tie-breaks), -b rows, -v warning text and its cap, and the
+non-associative totalLen double (-x avg extension).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import conftest  # noqa: F401
+import oracle
+
+
+def _run(tmp_path, name, infile, extra, env):
+    d = tmp_path / name
+    d.mkdir()
+    e = dict(os.environ)
+    e.update(env)
+    r = oracle.run_ours(
+        ["-t", str(tmp_path / infile), "-o", "out.np", "-v",
+         "-p", "0.01", "-a", "20"] + extra, cwd=str(d), env=e)
+    assert r.returncode == 0, r.stderr[-1500:]
+    return d, r.stderr
+
+
+CASES = [
+    ("plain", []),
+    ("dedup", ["-r", "-y"]),
+    ("atac_dups_bed", ["-j", "-r", "-b", "frags.bed"]),
+    ("avg_ext", ["-x"]),          # totalLen double must be bit-exact
+]
+
+
+@pytest.mark.parametrize("fmt", ["sam", "bam"])
+@pytest.mark.parametrize("case,extra", CASES, ids=[c[0] for c in CASES])
+def test_parallel_matches_sequential(tmp_path, fmt, case, extra):
+    oracle.random_sam(str(tmp_path / "in.sam"), seed=31, n_pairs=500,
+                      n_singles=120)
+    infile = "in.sam"
+    if fmt == "bam":
+        oracle.sam_to_bam(str(tmp_path / "in.sam"),
+                          str(tmp_path / "in.bam"))
+        infile = "in.bam"
+    seq_env = {"GENRICH_INGEST_THREADS": "0"}
+    par_env = {"GENRICH_INGEST_THREADS": "3",
+               "GENRICH_INGEST_SPAN": "997"}   # many tiny spans
+    ds, es = _run(tmp_path, f"seq{fmt}{case}", infile, extra, seq_env)
+    dp, ep = _run(tmp_path, f"par{fmt}{case}", infile, extra, par_env)
+    assert (ds / "out.np").read_bytes() == (dp / "out.np").read_bytes()
+    assert es == ep          # -v counter block + warnings, verbatim
+    if "-b" in extra:
+        assert (ds / "frags.bed").read_bytes() \
+            == (dp / "frags.bed").read_bytes()
+
+
+def test_parallel_warning_cap(tmp_path):
+    """>MAX_ALNS clamp warnings: text and the 128-cap must match the
+    sequential order across span boundaries."""
+    b = oracle.SamBuilder([("chr1", 1000)], seed=3)
+    for i in range(200):    # every fragment ends past the chrom end
+        b.add_pair("chr1", 900, 960)
+    b.write(str(tmp_path / "in.sam"))
+    seq_env = {"GENRICH_INGEST_THREADS": "0"}
+    par_env = {"GENRICH_INGEST_THREADS": "3",
+               "GENRICH_INGEST_SPAN": "499"}
+    ds, es = _run(tmp_path, "seqw", "in.sam", ["-y"], seq_env)
+    dp, ep = _run(tmp_path, "parw", "in.sam", ["-y"], par_env)
+    assert es == ep
+    assert "prevented from extending past" in es
+    assert "warning messages suppressed" in es
+
+
+def test_parallel_error_first_span_wins(tmp_path):
+    """A malformed record mid-file errors identically (first error in
+    file order), with earlier groups' state intact."""
+    good = oracle.SamBuilder([("chr1", 100000)], seed=5)
+    for i in range(50):
+        good.add_pair("chr1", 1000 + i, 1400 + i)
+    good.write(str(tmp_path / "in.sam"))
+    with open(tmp_path / "in.sam", "a") as f:
+        f.write("badline_no_tabs\n")
+    for t, span in (("0", "100000"), ("3", "307")):
+        d = tmp_path / f"err{t}"
+        d.mkdir()
+        e = dict(os.environ)
+        e.update({"GENRICH_INGEST_THREADS": t,
+                  "GENRICH_INGEST_SPAN": span})
+        r = oracle.run_ours(["-t", str(tmp_path / "in.sam"), "-o",
+                             "out.np", "-y"], cwd=str(d), env=e)
+        assert r.returncode != 0
+        assert "unknown" in r.stderr or "Error" in r.stderr
+        if t == "0":
+            want = r.stderr
+        else:
+            assert r.stderr == want
