@@ -133,7 +133,8 @@ class JaxEngine(HostChromMixin):
 
     def prepare(self, max_events: int, max_excl_pairs: int,
                 min_pq: float, min_auc: float, min_len: int,
-                max_gap: int, use_q: bool) -> None:
+                max_gap: int, use_q: bool,
+                max_chrom_len: int = 0) -> None:
         """Fix one global shape bucket and prewarm device programs.
 
         Called by the pipeline once all events are parsed: every

@@ -75,14 +75,44 @@ class ShardedEngine(HostChromMixin):
                              # per device (the kernels vmap over the
                              # local tile axis)
 
+    def prepare(self, max_events: int, max_excl_pairs: int,
+                min_pq: float, min_auc: float, min_len: int,
+                max_gap: int, use_q: bool,
+                max_chrom_len: int = 0) -> None:
+        """Fix ONE global (tile_len, n_tiles) grid for the run.
+
+        Without this, every chromosome length yields its own
+        [n_tiles, E] program shapes — a dozen compiled executables
+        whose one-time loads cost 25-100 s each through a
+        remote-compile relay.  Padding every chromosome to the
+        largest one's grid (trailing tiles get limit 0) trades a few
+        percent of tile compute for a single shape set per stage.
+        """
+        self._bucket = 1    # pipeline's prepare-once guard
+        if not max_chrom_len:
+            return
+        tl = _pow2(-(-max_chrom_len // self.D), lo=self.min_tile_len)
+        tl = min(tl, self.MAX_TILE_LEN)
+        t = -(-max_chrom_len // tl)
+        t = -(-t // self.D) * self.D
+        self._fixed_grid = (tl, t)
+        # event-width floor: split() still grows it if a tile
+        # overflows (one extra pow2 bucket at most)
+        self._e_floor = _pow2(max(1, 4 * max_events // max(t, 1)))
+
     def _grid(self, chrom_len: int) -> Tuple[int, int, np.ndarray]:
         """(tile_len, n_tiles, per-tile limits) for a chromosome:
         power-of-two tile length, tile count a multiple of the mesh
-        size D (bounded set of jit shapes)."""
-        tl = _pow2(-(-chrom_len // self.D), lo=self.min_tile_len)
-        tl = min(tl, self.MAX_TILE_LEN)
-        t = -(-chrom_len // tl)
-        t = -(-t // self.D) * self.D
+        size D (bounded set of jit shapes); uses the global fixed
+        grid from prepare() when one is set and large enough."""
+        fixed = getattr(self, "_fixed_grid", None)
+        if fixed is not None and fixed[0] * fixed[1] >= chrom_len:
+            tl, t = fixed
+        else:
+            tl = _pow2(-(-chrom_len // self.D), lo=self.min_tile_len)
+            tl = min(tl, self.MAX_TILE_LEN)
+            t = -(-chrom_len // tl)
+            t = -(-t // self.D) * self.D
         limit = np.clip(chrom_len - np.arange(t) * tl, 0, tl)
         return tl, t, limit.astype(np.int32)
 
@@ -100,7 +130,8 @@ class ShardedEngine(HostChromMixin):
             return e, e.copy(), np.zeros((n_tiles, 1), np.int32)
         s, e, c = self.pmesh.split_events_to_tiles(
             ev[0], ev[1], ev[2], n_tiles, tile_len)
-        width = _pow2(s.shape[1])
+        width = _pow2(s.shape[1], lo=getattr(self, "_e_floor", 1))
+        self._e_floor = width   # monotone: later chroms reuse shapes
         if width > s.shape[1]:
             pad = width - s.shape[1]
             s = np.pad(s, ((0, 0), (0, pad)), constant_values=tile_len)

@@ -349,15 +349,19 @@ def sharded_analyze_full(mesh: Mesh, es, ee, ec, cs, ce, cc, excl,
                          min_len: int = 0, max_gap: int = 100,
                          qval_opt: bool = False,
                          k_distinct: int = 1 << 13,
-                         limit=None):
+                         limit=None, kern=None):
     """Full pipeline sharded over tiles: ctrl + exclusions + exact BH.
 
     All inputs [T, ...] shard over the tile axis; ``excl`` is
     [T, K, 2] per-tile exclusion intervals padded with tile_len;
     ``limit`` [T] clips each tile's analyzed span (chromosome ends).
+    ``kern`` optionally reuses a ShardedKernels built for this
+    (mesh, tile_len) — repeated callers (benchmarks, dryruns) would
+    otherwise re-trace every jit on each call.
     Returns (TileResult, lambda, factor).
     """
-    kern = ShardedKernels(mesh, tile_len, k_distinct)
+    if kern is None:
+        kern = ShardedKernels(mesh, tile_len, k_distinct)
     n_tiles = es.shape[0]
     if limit is None:
         limit = np.full(n_tiles, tile_len, np.int32)

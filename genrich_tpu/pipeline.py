@@ -293,6 +293,7 @@ def _replicate_jax(eng, registry: ChromRegistry,
         # compiles/loads exactly once per run, concurrently
         max_ev = 1
         max_excl = 0
+        max_len = 0
         for c in registry:
             if c.skip or not c.save:
                 continue
@@ -301,9 +302,11 @@ def _replicate_jax(eng, registry: ChromRegistry,
                 if ev is not None:
                     max_ev = max(max_ev, len(ev[0]))
             max_excl = max(max_excl, len(c.bed) // 2)
+            if c.length <= 0x7FFFFFFF:      # host-fallback chroms
+                max_len = max(max_len, c.length)  # don't shape grids
         eng.prepare(max_ev, max_excl, float(p.pqvalue),
                     float(p.min_auc), int(p.min_len), int(p.max_gap),
-                    bool(p.qval_opt))
+                    bool(p.qval_opt), max_chrom_len=max_len)
 
     frag = 0.0
     ctrl_frag = 0.0

@@ -87,12 +87,13 @@ def time_leg(n_devices: int, fixture, reps: int = 5):
     import jax.numpy as jnp
     args = tuple(jnp.asarray(x) for x in
                  (t_s, t_e, t_c, c_s, c_e, c_c, excl))
+    kern = pmesh.ShardedKernels(mesh, tile_len)
 
     def step():
         res, lam, factor = pmesh.sharded_analyze_full(
             mesh, *args, tile_len=tile_len, genome_len=genome,
             min_pq=1.0, min_auc=2.0, min_len=0, max_gap=100,
-            qval_opt=True)
+            qval_opt=True, kern=kern)
         merged = pmesh.merge_tile_peaks(res, tile_len, 2.0, 0, 100)
         return merged, lam
 
