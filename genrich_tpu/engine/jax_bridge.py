@@ -71,6 +71,12 @@ class JaxEngine(HostChromMixin):
         self.jnp = jnp
         self._chrom: Dict[int, dict] = {}
         self._qtable = None
+        # device-resident padded empty event arrays keyed by
+        # (size, sentinel): a no-ctrl run otherwise uploads ~25 MB of
+        # constant padding per chromosome per analysis — on a
+        # ~15 MB/s tunneled link that is most of the warm-run cost.
+        # Survives release() (serve mode reuses it across analyses).
+        self._empty_cache: Dict[tuple, tuple] = {}
 
         zero4 = lambda: jnp.zeros(4, jnp.int32)  # noqa: E731
 
@@ -222,14 +228,23 @@ class JaxEngine(HostChromMixin):
 
     def _pad_events(self, ev, tile_len: int, size: int):
         jnp = self.jnp
+        if ev is None:
+            key = (size, int(tile_len))
+            cached = self._empty_cache.get(key)
+            if cached is None:
+                full = jnp.asarray(np.full(size, tile_len, np.int32))
+                zero = jnp.asarray(np.zeros(size, np.int32))
+                # start and end share one buffer (inputs read-only)
+                cached = (full, full, zero)
+                self._empty_cache[key] = cached
+            return cached
         s = np.full(size, tile_len, np.int32)
         e = np.full(size, tile_len, np.int32)
         c = np.zeros(size, np.int32)
-        if ev is not None:
-            n = len(ev[0])
-            s[:n] = ev[0]
-            e[:n] = ev[1]
-            c[:n] = ev[2]
+        n = len(ev[0])
+        s[:n] = ev[0]
+        e[:n] = ev[1]
+        c[:n] = ev[2]
         return jnp.asarray(s), jnp.asarray(e), jnp.asarray(c)
 
     # --- stage 1: coverage (resident) + fragment sums -------------------

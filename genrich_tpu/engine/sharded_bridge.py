@@ -62,6 +62,10 @@ class ShardedEngine(HostChromMixin):
         self.D = int(np.prod(self.mesh.devices.shape))
         self.min_tile_len = min_tile_len
         self._kernels: Dict[int, "pmesh.ShardedKernels"] = {}
+        # padded empty event triples keyed by (n_tiles, w, tile_len):
+        # no-ctrl analyses otherwise upload constant padding per
+        # chromosome per run (serve mode reuses across analyses)
+        self._empty_cache: Dict[tuple, tuple] = {}
         self._chrom: Dict[int, dict] = {}
         self._reps: List[Dict[int, tuple]] = []
         self._qtable = None
@@ -167,17 +171,29 @@ class ShardedEngine(HostChromMixin):
             ee = np.pad(ee, ((0, 0), (0, pad)),
                         constant_values=tile_len)
             ec = np.pad(ec, ((0, 0), (0, pad)))
-        if cs.shape[1] < w:
-            pad = w - cs.shape[1]
-            cs = np.pad(cs, ((0, 0), (0, pad)),
-                        constant_values=tile_len)
-            ce = np.pad(ce, ((0, 0), (0, pad)),
-                        constant_values=tile_len)
-            cc = np.pad(cc, ((0, 0), (0, pad)))
         excl = self._split_excl(bed, tile_len, n_tiles)
+        if ctrl_ev is None or len(ctrl_ev[0]) == 0:
+            key = (n_tiles, w, tile_len)
+            cached = self._empty_cache.get(key)
+            if cached is None:
+                full = jnp.asarray(np.full((n_tiles, w), tile_len,
+                                           np.int32))
+                zero = jnp.asarray(np.zeros((n_tiles, w), np.int32))
+                cached = (full, full, zero)
+                self._empty_cache[key] = cached
+            cs_d, ce_d, cc_d = cached
+        else:
+            if cs.shape[1] < w:
+                pad = w - cs.shape[1]
+                cs = np.pad(cs, ((0, 0), (0, pad)),
+                            constant_values=tile_len)
+                ce = np.pad(ce, ((0, 0), (0, pad)),
+                            constant_values=tile_len)
+                cc = np.pad(cc, ((0, 0), (0, pad)))
+            cs_d, ce_d, cc_d = (jnp.asarray(cs), jnp.asarray(ce),
+                                jnp.asarray(cc))
         out = kern.cov(jnp.asarray(es), jnp.asarray(ee),
-                       jnp.asarray(ec), jnp.asarray(cs),
-                       jnp.asarray(ce), jnp.asarray(cc),
+                       jnp.asarray(ec), cs_d, ce_d, cc_d,
                        jnp.asarray(excl), jnp.asarray(limit))
         (starts, ends, ev, cr, excluded, live, frag_all,
          cfrag_all) = out

@@ -218,19 +218,30 @@ def bench_e2e(n_pairs: int = 2_000_000, include_jax: bool = True,
             # cold (program compile+load) vs warm (steady state)
             try:
                 client = ServeClient(d)
+            except Exception as exc:
+                out["serve_error"] = f"{type(exc).__name__}: {exc}"
+                client = None
+            if client is not None:
                 try:
                     for eng in ("jax", "sharded"):
-                        res = _serve_leg(client, bam, eng, d,
-                                         warm_reps=3,
-                                         cold_timeout=timeout)
+                        try:
+                            res = _serve_leg(client, bam, eng, d,
+                                             warm_reps=3,
+                                             cold_timeout=timeout)
+                        except Exception as exc:
+                            # a timed-out analysis leaves the server
+                            # busy: record, kill, skip further legs
+                            out[eng] = {"error":
+                                        f"{type(exc).__name__}: "
+                                        f"{exc}"}
+                            client.proc.kill()
+                            break
                         out[eng] = res
                         out[f"{eng}_s"] = res["warm_s"]
                         out[f"{eng}_speedup"] = round(
                             out["ref_s"] / res["warm_s"], 3)
                 finally:
                     client.close()
-            except Exception as exc:
-                out["serve_error"] = f"{type(exc).__name__}: {exc}"
     if "records" in out:
         out["exact_records_per_s"] = round(
             out["records"] / out["exact_s"], 1)
