@@ -138,12 +138,12 @@ def main() -> None:
         assert all(v == v0 for v in vals), "non-deterministic scan"
     rep_s.sort()
     med = rep_s[len(rep_s) // 2]
-    # the tunneled relay occasionally stalls for minutes mid-rep
-    # (observed: 4 reps at 1.10s, one at 494s); such reps are relay
-    # outages, not kernel time — report them separately and compute
-    # the spread over the non-stalled reps
-    good = [x for x in rep_s if x <= 5.0 * med]
-    stalled = [round(x, 2) for x in rep_s if x > 5.0 * med]
+    # the tunneled relay occasionally stalls mid-rep (observed: 4
+    # reps at 1.10s, one at 494s; another run had 4x1.11s plus one
+    # 4.1s); such reps are relay latency, not kernel time — report
+    # them separately and compute the spread over non-stalled reps
+    good = [x for x in rep_s if x <= 2.0 * med]
+    stalled = [round(x, 2) for x in rep_s if x > 2.0 * med]
     spread_pct = 100.0 * (good[-1] - good[0]) / med
 
     # single-tile-dispatch leg: same tiles, one dispatch each

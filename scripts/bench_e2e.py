@@ -81,28 +81,31 @@ def _env(extra=None) -> dict:
 
 
 def _run_rss(cmd, cwd, timeout, extra_env=None):
-    """One run: (wall_s, rc, stderr_text, peak_rss_mb)."""
+    """One run: (wall_s, rc, stderr_text, peak_rss_mb).
+
+    Reads stderr to EOF itself and reaps with os.wait4 for rusage
+    (ru_maxrss, KiB on Linux) — Popen.communicate() would reap the
+    child first and lose the rusage.  A watchdog kills on timeout.
+    """
+    import threading
     proc = subprocess.Popen(cmd, cwd=cwd, stdout=subprocess.DEVNULL,
                             stderr=subprocess.PIPE, text=True,
                             env=_env(extra_env))
     t0 = time.perf_counter()
+    timed_out = []
+    watchdog = threading.Timer(timeout, lambda: (
+        timed_out.append(1), proc.kill()))
+    watchdog.start()
     try:
-        err = proc.communicate(timeout=timeout)[1]
-    except subprocess.TimeoutExpired:
-        proc.kill()
-        proc.communicate()
+        err = proc.stderr.read()
+    finally:
+        watchdog.cancel()
+    _, status, ru = os.wait4(proc.pid, 0)
+    proc.returncode = os.waitstatus_to_exitcode(status)
+    if timed_out:
         return time.perf_counter() - t0, None, "timeout", 0.0
-    # communicate() has seen EOF but the child may not be reaped by
-    # Popen yet; wait4 gives us rusage (ru_maxrss in KiB on Linux)
-    try:
-        _, status, ru = os.wait4(proc.pid, 0)
-        rc = os.waitstatus_to_exitcode(status)
-        rss_mb = ru.ru_maxrss / 1024.0
-        proc.returncode = rc
-    except ChildProcessError:
-        rc = proc.wait()
-        rss_mb = 0.0
-    return time.perf_counter() - t0, rc, err, rss_mb
+    return (time.perf_counter() - t0, proc.returncode, err,
+            ru.ru_maxrss / 1024.0)
 
 
 def _timed_leg(cmd, cwd, timeout, reps, extra_env=None):
