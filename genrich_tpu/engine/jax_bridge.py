@@ -169,8 +169,9 @@ class JaxEngine(HostChromMixin):
 
         def warm_coverage():
             ev = mk(b, jnp.int32)
+            cnt = mk(b, jnp.uint8)
             excl = jnp.full((pairs, 2), 1 << 20, jnp.int32)
-            self._coverage(ev, ev, ev, ev, ev, ev, excl,
+            self._coverage(ev, ev, cnt, ev, ev, cnt, excl,
                            jnp.int32(1 << 20))
 
         def warm_stats():
@@ -228,19 +229,22 @@ class JaxEngine(HostChromMixin):
 
     def _pad_events(self, ev, tile_len: int, size: int):
         jnp = self.jnp
+        # counts ride as uint8 (values are the 1..10 multimapper
+        # codes): they only ever index the class-delta tables on
+        # device, and the upload is link-bandwidth-priced
         if ev is None:
             key = (size, int(tile_len))
             cached = self._empty_cache.get(key)
             if cached is None:
                 full = jnp.asarray(np.full(size, tile_len, np.int32))
-                zero = jnp.asarray(np.zeros(size, np.int32))
+                zero = jnp.asarray(np.zeros(size, np.uint8))
                 # start and end share one buffer (inputs read-only)
                 cached = (full, full, zero)
                 self._empty_cache[key] = cached
             return cached
         s = np.full(size, tile_len, np.int32)
         e = np.full(size, tile_len, np.int32)
-        c = np.zeros(size, np.int32)
+        c = np.zeros(size, np.uint8)
         n = len(ev[0])
         s[:n] = ev[0]
         e[:n] = ev[1]

@@ -178,7 +178,7 @@ class ShardedEngine(HostChromMixin):
             if cached is None:
                 full = jnp.asarray(np.full((n_tiles, w), tile_len,
                                            np.int32))
-                zero = jnp.asarray(np.zeros((n_tiles, w), np.int32))
+                zero = jnp.asarray(np.zeros((n_tiles, w), np.uint8))
                 cached = (full, full, zero)
                 self._empty_cache[key] = cached
             cs_d, ce_d, cc_d = cached
@@ -191,10 +191,12 @@ class ShardedEngine(HostChromMixin):
                             constant_values=tile_len)
                 cc = np.pad(cc, ((0, 0), (0, pad)))
             cs_d, ce_d, cc_d = (jnp.asarray(cs), jnp.asarray(ce),
-                                jnp.asarray(cc))
+                                jnp.asarray(cc.astype(np.uint8)))
+        # counts as uint8: they only index class-delta tables, and
+        # the [T, E] upload is link-bandwidth-priced
         out = kern.cov(jnp.asarray(es), jnp.asarray(ee),
-                       jnp.asarray(ec), cs_d, ce_d, cc_d,
-                       jnp.asarray(excl), jnp.asarray(limit))
+                       jnp.asarray(ec.astype(np.uint8)), cs_d, ce_d,
+                       cc_d, jnp.asarray(excl), jnp.asarray(limit))
         (starts, ends, ev, cr, excluded, live, frag_all,
          cfrag_all) = out
         self._chrom[cidx] = {
