@@ -59,3 +59,26 @@ def test_serve_warm_runs_identical(tmp_path):
     assert r.returncode == 0
     assert (d / "out.np").read_bytes() \
         == (tmp_path / "exact.np").read_bytes()
+
+
+def test_serve_checkpoint_resume(tmp_path):
+    """-X / -P through one server: the stats-log checkpoint written by
+    one analysis is re-analyzed by a later line in the same process,
+    byte-identical to a fresh-process -P run.  (Full-vs-resumed peak
+    rows are NOT bitwise equal — the -f log's printed precision loses
+    float32 digits — and the reference behaves the same way.)"""
+    oracle.random_sam(str(tmp_path / "in.sam"), seed=17)
+    out = _serve(tmp_path, [
+        "-t in.sam -o x.np -y -X -f stats.log",
+        "-P -f stats.log -o resumed.np -p 0.01 -a 20",
+    ])
+    assert [ln.split()[0] for ln in out] == ["READY", "OK", "OK"]
+    d = tmp_path / "freshp"
+    d.mkdir()
+    r = oracle.run_ours(["-P", "-f", str(tmp_path / "stats.log"),
+                         "-o", "out.np", "-p", "0.01", "-a", "20"],
+                        cwd=str(d))
+    assert r.returncode == 0
+    assert (d / "out.np").read_bytes() \
+        == (tmp_path / "resumed.np").read_bytes()
+    assert (tmp_path / "resumed.np").read_bytes()
