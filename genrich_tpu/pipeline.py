@@ -88,6 +88,23 @@ def _chrom_events(sink: EventSink, chrom_index: int):
             np.asarray(buf[2], np.int64))
 
 
+def _par_map(fn, items):
+    """Map fn over per-chromosome work items, in parallel when it can
+    help.  Results come back in input order, so every downstream
+    reduction (exact float64 fragment sums, BH tables, log writers)
+    sees exactly the sequential order — numpy's big-array ufuncs and
+    the ctypes breakpoint kernel release the GIL, so chromosomes
+    genuinely overlap.  The reference is single-threaded
+    (Genrich.c:5386-5695 runs its chromosome loops serially)."""
+    import os as _os
+    n = min(len(items), _os.cpu_count() or 1, 4)
+    if n <= 1 or len(items) <= 1:
+        return [fn(it) for it in items]
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=n) as ex:
+        return list(ex.map(fn, items))
+
+
 def _append_text(path: Optional[str], gz: bool, text: str) -> None:
     """Append a header line to a log written incrementally (native
     mode appends from C++; gzip outputs become multi-member)."""
@@ -183,6 +200,7 @@ def _save_pileup_expt(registry: ChromRegistry, sink: EventSink
     """savePileupExpt over all chroms; returns (pileups, fragLen)."""
     out: Dict[int, Pileup] = {}
     all_terms = []
+    work = []
     for c in registry:
         if c.skip or not c.save:
             continue
@@ -190,7 +208,10 @@ def _save_pileup_expt(registry: ChromRegistry, sink: EventSink
         if ev is None:
             out[c.index] = const_pileup(c.length, F32(0.0))
             continue
-        pu, terms = expt_pileup(ev[0], ev[1], ev[2], c.length, c.bed)
+        work.append((c, ev))
+    for (c, _), (pu, terms) in zip(work, _par_map(
+            lambda w: expt_pileup(w[1][0], w[1][1], w[1][2],
+                                  w[0].length, w[0].bed), work)):
         out[c.index] = pu
         all_terms.append(terms)
     from .engine.pileup import exact_sum_f64
@@ -209,15 +230,17 @@ def _save_pileup_ctrl(registry: ChromRegistry, sink: EventSink,
     lam = _calc_lambda(registry, frag_len, genome_len)
     if verbose:
         warn(f"  Background pileup value: {fmt_f(lam)}\n")
-    ctrl_terms = []
+    work = []
     for c in registry:
         if c.skip or not c.save:
             continue
         ev = _chrom_events(sink, c.index)
         if ev is None:
             continue
-        ctrl_terms.append(ctrl_frag_terms(ev[0], ev[1], ev[2],
-                                          c.length, c.bed))
+        work.append((c, ev))
+    ctrl_terms = _par_map(
+        lambda w: ctrl_frag_terms(w[1][0], w[1][1], w[1][2],
+                                  w[0].length, w[0].bed), work)
     from .engine.pileup import exact_sum_f64
     ctrl_frag = exact_sum_f64(
         np.concatenate(ctrl_terms) if ctrl_terms
@@ -228,6 +251,7 @@ def _save_pileup_ctrl(registry: ChromRegistry, sink: EventSink,
         if factor > F32(5.0):
             warn("  ** Warning! Large scaling may mask true signal **\n")
     out: Dict[int, Pileup] = {}
+    work2 = []
     for c in registry:
         if c.skip or not c.save:
             continue
@@ -235,8 +259,12 @@ def _save_pileup_ctrl(registry: ChromRegistry, sink: EventSink,
         if ev is None:
             out[c.index] = lambda_pileup(c.length, c.bed, lam)
         else:
-            out[c.index] = ctrl_pileup(ev[0], ev[1], ev[2], c.length,
-                                       c.bed, factor, lam)
+            work2.append((c, ev))
+    for (c, _), pu in zip(work2, _par_map(
+            lambda w: ctrl_pileup(w[1][0], w[1][1], w[1][2],
+                                  w[0].length, w[0].bed, factor,
+                                  lam), work2)):
+        out[c.index] = pu
     return out
 
 
@@ -449,6 +477,16 @@ def _save_pval(registry: ChromRegistry, n: int,
     """savePval (Genrich.c:1720-1794) incl. the -k pileup log."""
     if pile_stream is not None:
         writers.pile_header(pile_stream, expt_name, ctrl_name)
+
+    def _pval_one(c):
+        ends, ev, cv = pvalue.merge_pileups(expt[c.index],
+                                            ctrl[c.index])
+        pv, tab = pvalue.calc_pval_unique_tab(ends, ev, cv)
+        return ends, ev, cv, pv, tab
+
+    todo = [c for c in registry if not c.skip and c.save]
+    results = {c.index: r for c, r in zip(todo,
+                                          _par_map(_pval_one, todo))}
     for c in registry:
         if c.skip:
             continue
@@ -458,9 +496,7 @@ def _save_pval(registry: ChromRegistry, n: int,
         if not c.save:
             lst.append(None)
             continue
-        ends, ev, cv = pvalue.merge_pileups(expt[c.index],
-                                            ctrl[c.index])
-        pv, tab = pvalue.calc_pval_unique_tab(ends, ev, cv)
+        ends, ev, cv, pv, tab = results[c.index]
         lst.append(Pileup(ends, pv, tab=tab))
         if pile_stream is not None:
             starts = np.concatenate([[0], ends[:-1]])
