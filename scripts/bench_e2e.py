@@ -189,7 +189,16 @@ def bench_e2e(n_pairs: int = 2_000_000, include_jax: bool = True,
     ref = _oracle_bin()
     genome = sum(l for _, l in (chroms or HG_CHROMS))
     out = {"n_pairs": n_pairs, "genome_bp": genome,
-           "flags": " ".join(FLAGS), "reps": reps}
+           "flags": " ".join(FLAGS), "reps": reps,
+           "host": {"cpus": os.cpu_count(),
+                    "loadavg": [round(x, 2)
+                                for x in os.getloadavg()]}}
+    # warm the page cache so the first timed rep doesn't also pay the
+    # cold read of a multi-hundred-MB BAM (every later rep of every
+    # contender would see it cached — same treatment for all)
+    with open(bam, "rb") as f:
+        while f.read(1 << 24):
+            pass
     with tempfile.TemporaryDirectory() as d:
         # -v's counter block is a handful of stderr lines; its timing
         # cost is noise and it carries the record count.
