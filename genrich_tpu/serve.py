@@ -77,4 +77,12 @@ def serve_loop(default_args: Optional[List[str]] = None,
             sys.stderr.write(e.render() + "\n")
             print(f"ERR {time.perf_counter() - t0:.3f}",
                   file=stdout, flush=True)
+        except Exception:
+            # an unexpected failure must not kill the server (a
+            # client mid-protocol would hang until its timeout);
+            # report and keep serving — engines were released above
+            import traceback
+            traceback.print_exc()
+            print(f"ERR {time.perf_counter() - t0:.3f}",
+                  file=stdout, flush=True)
     return 0

@@ -82,3 +82,15 @@ def test_serve_checkpoint_resume(tmp_path):
     assert (d / "out.np").read_bytes() \
         == (tmp_path / "resumed.np").read_bytes()
     assert (tmp_path / "resumed.np").read_bytes()
+
+
+def test_serve_survives_unexpected_errors(tmp_path):
+    """A non-Genrich exception (e.g. unwritable output path) must not
+    kill the server; later analyses still succeed."""
+    oracle.random_sam(str(tmp_path / "in.sam"), seed=19)
+    out = _serve(tmp_path, [
+        "-t in.sam -o /nonexistent_dir/x.np -y",
+        "-t in.sam -o ok.np -y -p 0.01 -a 20",
+    ])
+    assert [ln.split()[0] for ln in out] == ["READY", "ERR", "OK"]
+    assert (tmp_path / "ok.np").stat().st_size > 0
