@@ -100,9 +100,12 @@ class ShardedEngine(HostChromMixin):
         t = -(-max_chrom_len // tl)
         t = -(-t // self.D) * self.D
         self._fixed_grid = (tl, t)
-        # event-width floor: split() still grows it if a tile
-        # overflows (one extra pow2 bucket at most)
-        self._e_floor = _pow2(max(1, 4 * max_events // max(t, 1)))
+        # event-width floor: the mean per-tile count; the first
+        # chromosome's actual split raises the monotone floor to the
+        # real (cluster-skewed) width, and later chromosomes reuse
+        # that shape.  Over-padding here costs real upload bytes on
+        # the device link, so keep the floor tight.
+        self._e_floor = _pow2(max(1, max_events // max(t, 1)))
 
     def _grid(self, chrom_len: int) -> Tuple[int, int, np.ndarray]:
         """(tile_len, n_tiles, per-tile limits) for a chromosome:
