@@ -16,4 +16,15 @@ A from-scratch reimplementation of the capabilities of Genrich v0.6.2
 
 __version__ = "0.1.0"
 
+# Keep genome-scale numpy temporaries on the persistent heap instead
+# of per-allocation mmap/munmap (see utils/malloc_tuning.py: ~30%
+# end-to-end on allocation-heavy phases, byte-identical results).
+# Early, so it covers every allocation the analysis makes.
+import os as _os
+
+if _os.environ.get("GENRICH_MALLOC_TUNING", "1") != "0":
+    from .utils.malloc_tuning import tune_malloc as _tune_malloc
+
+    _tune_malloc()
+
 GENRICH_COMPAT_VERSION = "0.6.2"  # reference Genrich.h:9

@@ -1181,41 +1181,66 @@ long get_long(const char* s) {
   return v;
 }
 
-int parse_cigar(char* cigar, int* offset) {
-  int length = 0, pos = 0;
-  int len = (int)strlen(cigar);
-  for (int i = 0; i < len; i++) {
-    char ch = cigar[i];
-    if (ch < '0' || ch > '9') {
-      cigar[i] = '\0';
-      int op_len = (int)get_long(cigar + pos);
-      switch (ch) {
-        case 'M': case '=': case 'X': length += op_len; break;
-        case 'I': case 'S': length += op_len; *offset -= op_len; break;
-        case 'D': *offset += op_len; break;
-        case 'N': case 'H': case 'P': break;
-        default: {
-          char msg[4] = {'\'', ch, '\'', 0};
-          fail(msg, ERRCIGAR);
-        }
+// CIGAR walk: consume <digits><op> tokens left to right, summing the
+// query-sequence length (M/=/X/I/S) and the query-vs-reference span
+// correction into *offset (I/S consume query only, D reference only;
+// N/H/P consume neither).  Validation mirrors the SAM field rules
+// (reference: parseCigar, Genrich.c:4408-4445): a token with no
+// leading digits is an integer error with an empty payload, an
+// unrecognized opcode names itself quoted in the message, and a
+// trailing digit run with no opcode is silently ignored.  The string
+// is read in place, never modified.
+int parse_cigar(const char* cigar, int* offset) {
+  int length = 0;
+  const char* p = cigar;
+  while (*p) {
+    const char* d = p;
+    while (*d >= '0' && *d <= '9') d++;
+    char op = *d;
+    if (op == '\0') break;              // digits with no opcode
+    if (d == p) fail("", ERRINT);       // opcode with no digits
+    int n = (int)strtol(p, nullptr, 10);  // stops at the opcode
+    switch (op) {
+      case 'M': case '=': case 'X':
+        length += n;
+        break;
+      case 'I': case 'S':
+        length += n;
+        *offset -= n;
+        break;
+      case 'D':
+        *offset += n;
+        break;
+      case 'N': case 'H': case 'P':
+        break;
+      default: {
+        char msg[4] = {'\'', op, '\'', 0};
+        fail(msg, ERRCIGAR);
       }
-      pos = i + 1;
     }
+    p = d + 1;
   }
   return length;
 }
 
-int calc_dist(const std::string& q, const char* seq, char* cigar) {
+// Reference-genome span of one record: the sequence length (from SEQ,
+// or implied by the CIGAR when SEQ is "*"/empty) plus the CIGAR's
+// insertion/deletion correction.  When both SEQ and a CIGAR are
+// present their lengths must agree (reference: calcDist,
+// Genrich.c:4451-4463); with neither, the record carries no usable
+// span and is an error.
+int calc_dist(const std::string& q, const char* seq,
+              const char* cigar) {
   int length = strcmp(seq, "*") ? (int)strlen(seq) : 0;
   int offset = 0;
-  if (strcmp(cigar, "*")) {
-    int l = parse_cigar(cigar, &offset);
-    if (!length) length = l;
-    else if (length != l) fail(q, ERRMISM);
-  } else if (!length) {
-    fail(q, ERRINFO);
+  bool have_cigar = strcmp(cigar, "*") != 0;
+  if (!have_cigar) {
+    if (!length) fail(q, ERRINFO);
+    return length;
   }
-  return length + offset;
+  int implied = parse_cigar(cigar, &offset);
+  if (length && length != implied) fail(q, ERRMISM);
+  return (length ? length : implied) + offset;
 }
 
 float sam_score(char* extra) {
