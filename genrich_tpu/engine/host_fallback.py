@@ -110,8 +110,12 @@ class HostChromMixin:
 
     @staticmethod
     def host_is_archived(entry) -> bool:
+        # device archive entries are also 3-tuples whose first element
+        # is a device array: type-check before comparing, so the
+        # marker test never evaluates array == str (whose semantics
+        # vary across jax versions)
         return isinstance(entry, tuple) and len(entry) == 3 \
-            and entry[0] == "host"
+            and isinstance(entry[0], str) and entry[0] == "host"
 
     def host_fisher(self, cidx: int, entries: List[tuple]) -> None:
         """combinePval (Genrich.c:612-667) across replicates, exact."""

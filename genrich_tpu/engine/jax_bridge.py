@@ -161,6 +161,14 @@ class JaxEngine(HostChromMixin):
         while max_excl_pairs > pairs:
             pairs *= 4
         self._excl_pairs = pairs
+        # serve mode: an analysis with the same derived shapes and
+        # peak parameters needs no re-warm (the programs are already
+        # compiled and loaded); a different workload re-derives and
+        # re-warms.  release() clears the per-run arrays only.
+        key = (self._bucket, pairs, min_len, max_gap, use_q)
+        if getattr(self, "_prep_key", None) == key:
+            return
+        self._prep_key = key
         b = self._bucket
         n_iv = 1 + 4 * b + 2 * pairs
 

@@ -92,8 +92,14 @@ class ShardedEngine(HostChromMixin):
         largest one's grid (trailing tiles get limit 0) trades a few
         percent of tile compute for a single shape set per stage.
         """
-        self._bucket = 1    # pipeline's prepare-once guard
+        # runs once per analysis: re-derives the grid and event-width
+        # floor from THIS run's maxima, so a serve process fed
+        # heterogeneous inputs never inherits a stale (too small or
+        # over-padded) shape policy.  Compiled kernels (self._kernels,
+        # keyed by tile_len) and the empty-upload cache persist.
         if not max_chrom_len:
+            self._fixed_grid = None
+            self._e_floor = 1
             return
         tl = _pow2(-(-max_chrom_len // self.D), lo=self.min_tile_len)
         tl = min(tl, self.MAX_TILE_LEN)

@@ -315,10 +315,14 @@ def _replicate_jax(eng, registry: ChromRegistry,
     if not genome_len:
         raise fatal("", ERRGEN)
 
-    if hasattr(eng, "prepare") and not getattr(eng, "_bucket", 0):
+    if hasattr(eng, "prepare"):
         # one global event bucket + background program prewarm: every
         # chromosome pads to the same shapes, so each device stage
-        # compiles/loads exactly once per run, concurrently
+        # compiles/loads exactly once per run, concurrently.  Runs
+        # per analysis — a serve process fed heterogeneous inputs
+        # re-derives the shape policy each time (engines skip the
+        # re-warm when the resulting shapes are unchanged, so a
+        # steady serve workload costs nothing extra).
         max_ev = 1
         max_excl = 0
         max_len = 0

@@ -208,11 +208,23 @@ void warnf(Context* c, bool capped, const char* fmt, ...) {
   va_start(ap, fmt);
   if (!c->shard_mode) {
     vfprintf(stderr, fmt, ap);
-  } else {
-    char buf[512];
-    vsnprintf(buf, sizeof buf, fmt, ap);
-    c->warn_buf.push_back({capped, std::string(buf)});
+    va_end(ap);
+    return;
   }
+  // buffered shard warnings must match the sequential path's
+  // unbounded vfprintf byte-for-byte: size the buffer exactly
+  // (warning text can carry a qname plus a chromosome name of any
+  // length), never truncate
+  va_list ap2;
+  va_copy(ap2, ap);
+  int need = vsnprintf(nullptr, 0, fmt, ap);
+  std::string text;
+  if (need > 0) {
+    text.resize((size_t)need);
+    vsnprintf(&text[0], (size_t)need + 1, fmt, ap2);
+  }
+  c->warn_buf.push_back({capped, std::move(text)});
+  va_end(ap2);
   va_end(ap);
 }
 
@@ -1829,13 +1841,29 @@ void run_parse_pool(Context* c, int n_workers, NextSpan&& next_span,
       drain_ready(false);
     }
   } catch (...) {
-    // producer failed (I/O/framing error): stop workers, rethrow
+    // producer failed (I/O/framing error).  Let the workers finish
+    // the already-queued spans, then surface the EARLIEST span's
+    // record error when one exists — a sequential parse would have
+    // hit it before the producer's later truncation — so the
+    // reported error never depends on worker timing; with no span
+    // error, rethrow the producer's exception.
     {
       std::unique_lock<std::mutex> lk(mu);
       done = true;
       cv_work.notify_all();
     }
     for (auto& t : threads) t.join();
+    if (err_code < 0) {
+      for (uint64_t i = merged; i < next_idx; i++) {
+        if (i < results.size() && results[i]
+            && results[i]->err_code >= 0) {
+          err_code = results[i]->err_code;
+          err_msg = results[i]->err_msg;
+          break;
+        }
+      }
+    }
+    if (err_code >= 0) throw IngestError{err_code, err_msg};
     throw;
   }
   {
@@ -1989,19 +2017,28 @@ uint64_t read_sam_parallel(Context* c, Reader& rd, char* first_line,
           got++;
         }
         if (got == 5 && line[0] != '@') {
-          long flag = 0, mapq = 0;
-          for (size_t k = 0; k < flen[1]; k++) {
-            char ch = f[1][k];
-            if (ch < '0' || ch > '9') break;
-            flag = flag * 10 + (ch - '0');
+          // FLAG/MAPQ with exactly the worker's integer semantics
+          // (get_long: strtol over the whole field, same uint16/uint8
+          // truncation), so the walker's relevant/irrelevant verdict
+          // can never diverge from parse_sam_line on a line the
+          // worker accepts; a field get_long would reject classifies
+          // as irrelevant — the worker's own fail() surfaces it
+          char* endp;
+          long lf = strtol(f[1], &endp, 10);
+          bool ok = endp != f[1]
+                    && (endp == f[1] + flen[1] || *endp == '\0');
+          long lm = 0;
+          if (ok) {
+            lm = strtol(f[4], &endp, 10);
+            ok = endp != f[4]
+                 && (endp == f[4] + flen[4] || *endp == '\0');
           }
-          for (size_t k = 0; k < flen[4]; k++) {
-            char ch = f[4][k];
-            if (ch < '0' || ch > '9') break;
-            mapq = mapq * 10 + (ch - '0');
+          if (ok) {
+            uint16_t flag = (uint16_t)lf;
+            uint8_t mapq = (uint8_t)lm;
+            relevant = !(flag & 0x4) && !(flag & 0xE00)
+                       && mapq >= c->opt.min_mapq;
           }
-          relevant = !(flag & 0x4) && !(flag & 0xE00)
-                     && (uint8_t)mapq >= c->opt.min_mapq;
           qn = f[0];
           qlen = flen[0];
         }
