@@ -44,7 +44,68 @@ BASELINE_POS_PER_SEC = 4.5e6        # derived: README.md:490,496
 TILE_LEN = 1 << 24                  # 16.8 Mbp tiles
 EVENTS_PER_TILE = 1 << 19           # ~88M fragments genome-wide
 BATCH = 48                          # tiles per dispatch (vmap axis)
+BATCH_PROD = 8                      # production shape: 8-channel sort
 REPS = 5                            # full-genome scans (median)
+
+
+def _measure_hbm_bw(jax, jnp) -> float:
+    """Achieved HBM bandwidth (bytes/s) of a trivially fusable op.
+
+    One read + one write of a 64 MiB f32 array; best of 7 so relay
+    stalls don't contaminate the number.  This is the roofline
+    denominator — measured on this chip, not a spec sheet.
+    """
+    x = jnp.ones(1 << 24, jnp.float32)
+    f = jax.jit(lambda a: a * jnp.float32(1.0000001))
+    jax.block_until_ready(f(x))
+    best = float("inf")
+    for _ in range(7):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
+        best = min(best, time.perf_counter() - t0)
+    return 2.0 * x.nbytes / best
+
+
+def _roofline(bw: float, n_rows: int, sort_payload_sum_b: int,
+              chain_bytes_per_row: int, t_tile_s: float) -> dict:
+    """Speed-of-light model for one tile of the fused kernel.
+
+    The super-linear steps are the ``lax.sort`` calls (the event
+    sort plus call_peaks' two lexicographic sorts, all over the same
+    M rows; ``sort_payload_sum_b`` is their summed per-row operand
+    width).  XLA's TPU sort is a bitonic network (log2(M)*(log2(M)+1)/2 compare-exchange passes,
+    each reading+writing every row), while an ideal memory-bound
+    merge sort needs only log2(M) passes.  Everything else is an
+    elementwise/scan chain whose traffic is a few bytes per row per
+    pass.  Reports the modeled time at the measured HBM bandwidth for
+    both sort models, and the achieved fraction (t_model / t_meas):
+    ``frac_vs_xla_sort`` close to 1.0 means the kernel runs at the
+    speed of light *of its algorithm*; ``frac_vs_ideal_sort`` is the
+    headroom a non-bitonic device sort could still unlock.
+    """
+    import math
+    logm = math.ceil(math.log2(n_rows))
+    bitonic = logm * (logm + 1) // 2
+    def sort_bytes(p):
+        return 2.0 * n_rows * sort_payload_sum_b * p
+
+    chain = float(n_rows) * chain_bytes_per_row
+    b_xla = sort_bytes(bitonic) + chain
+    b_ideal = sort_bytes(logm) + chain
+    return {
+        "hbm_bw_gbps": round(bw / 1e9, 1),
+        "model": {"rows": n_rows,
+                  "sort_payload_sum_b": sort_payload_sum_b,
+                  "bitonic_passes": bitonic, "merge_passes": logm,
+                  "chain_bytes_per_row": chain_bytes_per_row},
+        "bytes_xla_sort_mb": round(b_xla / 1e6, 1),
+        "bytes_ideal_sort_mb": round(b_ideal / 1e6, 1),
+        "t_model_xla_ms": round(1e3 * b_xla / bw, 3),
+        "t_model_ideal_ms": round(1e3 * b_ideal / bw, 3),
+        "t_measured_ms": round(1e3 * t_tile_s, 3),
+        "frac_vs_xla_sort": round(b_xla / bw / t_tile_s, 3),
+        "frac_vs_ideal_sort": round(b_ideal / bw / t_tile_s, 3),
+    }
 
 
 def _tile_events(rng, n_variants=4):
@@ -156,7 +217,63 @@ def main() -> None:
     _ = [float(o) for o in outs]
     single_s = time.perf_counter() - t0
 
+    # --- production kernel shape ------------------------------------
+    # The serve/mesh product runs tile_coverage (8-channel merged
+    # expt+ctrl sort with exclusion breakpoints) + tile_stats +
+    # call_peaks, a heavier program than analyze_tile_core's
+    # constant-lambda path; time it so the headline has a
+    # production-shape companion (VERDICT r3 "what's weak" #5).
+    from genrich_tpu.ops.pipeline_jax import analyze_tile_ctrl
+    K_EXCL = 64
+    excl_pad = jnp.full((K_EXCL, 2), TILE_LEN, jnp.int32)
+    zero4 = jnp.zeros((4,), jnp.int32)
+
+    @partial(jax.jit, static_argnames=("min_len", "max_gap"))
+    def step_batch_prod(s, e, c, cs, ce, cc, lam_, min_len, max_gap):
+        def one(a, b, d, xa, xb, xd):
+            res, ctrl_frag, _pv, _st, _en, _lv = analyze_tile_ctrl(
+                a, b, d, xa, xb, xd, excl_pad, jnp.int32(TILE_LEN),
+                zero4, zero4, lam_, jnp.float32(1.0),
+                jnp.float32(2.0), jnp.float32(20.0), min_len, max_gap)
+            return res.frag_len + ctrl_frag
+        return jnp.sum(jax.vmap(one)(s, e, c, cs, ce, cc))
+
+    bsp = bs[:BATCH_PROD]
+    bep = be[:BATCH_PROD]
+    bcp = bc[:BATCH_PROD]
+    # ctrl channel: the same event tensors (a control sample of equal
+    # depth — the heaviest realistic sort load)
+    prod_args = (bsp, bep, bcp, bsp, bep, bcp, jnp.float32(lam))
+    jax.block_until_ready(step_batch_prod(*prod_args, min_len=0,
+                                          max_gap=100))
+    n_disp_prod = max(4, 64 // BATCH_PROD)
+    prod_reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [step_batch_prod(*prod_args, min_len=0, max_gap=100)
+                for _i in range(n_disp_prod)]
+        _ = [float(o) for o in outs]
+        prod_reps.append(time.perf_counter() - t0)
+    prod_reps.sort()
+    prod_med = prod_reps[len(prod_reps) // 2]
+    per_tile_prod_ms = 1e3 * prod_med / (n_disp_prod * BATCH_PROD)
+
+    # --- speed-of-light rooflines (VERDICT r3 ask #2) -----------------
+    bw = _measure_hbm_bw(jax, jnp)
     per_tile_batched_ms = 1e3 * med / (n_dispatch * BATCH)
+    # light shape: M = 2E+1 breakpoints; sorts = event sort (4B key +
+    # 4B packed payload) + call_peaks' two lex sorts (~20B and ~16B
+    # operands); chain ~64B/row (packed read, cumsum write [M,4] i32,
+    # canonicalize+pval fused, three peak cumsums, top_k)
+    m_light = 2 * EVENTS_PER_TILE + 1
+    roof_light = _roofline(bw, m_light, 8 + 20 + 16, 64,
+                           per_tile_batched_ms / 1e3)
+    # production shape: expt+ctrl points + exclusion breakpoints; the
+    # 8-channel cumsum doubles the scan traffic (~96B/row)
+    m_prod = 4 * EVENTS_PER_TILE + 2 * K_EXCL + 1
+    roof_prod = _roofline(bw, m_prod, 8 + 20 + 16, 96,
+                          per_tile_prod_ms / 1e3)
+
     per_tile_single_ms = 1e3 * single_s / n_single
     value = scanned_bp / med
     out = {
@@ -177,6 +294,19 @@ def main() -> None:
                                                  4),
             "dispatch_overhead_ms": round(
                 per_tile_single_ms - per_tile_batched_ms, 4),
+            "roofline": roof_light,
+        },
+        "kernel_production": {
+            "tiles_per_dispatch": BATCH_PROD,
+            "events_per_tile_per_channel": EVENTS_PER_TILE,
+            "rep_s": [round(x, 4) for x in prod_reps],
+            "per_tile_ms": round(per_tile_prod_ms, 4),
+            "positions_per_sec": round(
+                TILE_LEN / (per_tile_prod_ms / 1e3), 1),
+            "vs_baseline": round(
+                TILE_LEN / (per_tile_prod_ms / 1e3)
+                / BASELINE_POS_PER_SEC, 3),
+            "roofline": roof_prod,
         },
     }
     if os.environ.get("GENRICH_BENCH_E2E", "1") != "0":

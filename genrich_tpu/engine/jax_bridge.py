@@ -27,12 +27,14 @@ compilation can cost ~15 s per shape.
 from __future__ import annotations
 
 import os
+import time
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 from ..utils.cfloat import SKIP
 from .host_fallback import INT32_MAX, HostChromMixin
+from .perf import PerfMixin
 from .pileup import Pileup
 
 F32 = np.float32
@@ -50,7 +52,7 @@ from ..utils.xla_cache import enable_compile_cache \
     as _enable_compile_cache
 
 
-class JaxEngine(HostChromMixin):
+class JaxEngine(PerfMixin, HostChromMixin):
     """Per-run device context (lazy jax import; CPU or TPU).
 
     Stage methods keep per-chromosome interval arrays resident on the
@@ -122,9 +124,17 @@ class JaxEngine(HostChromMixin):
             else:
                 qv = jnp.full_like(pv, SKIP)
                 stat = pv
-            return call_peaks(starts, ends, stat, pv, qv, live,
-                              min_pq, min_auc, min_len, max_gap,
-                              k_peaks=k_peaks)
+            res = call_peaks(starts, ends, stat, pv, qv, live,
+                             min_pq, min_auc, min_len, max_gap,
+                             k_peaks=k_peaks)
+            # pack the emitted columns into two buffers so the host
+            # pulls a chromosome's peaks in two transfers instead of
+            # seven (each pull is a round trip on a tunneled link)
+            ints = jnp.stack([res.start, res.end, res.summit_pos,
+                              res.valid.astype(jnp.int32)])
+            flts = jnp.stack([res.auc, res.summit_pval,
+                              res.summit_qval])
+            return ints, flts, res.n_peaks
 
         self._coverage = _coverage
         self._stats_fn = _stats
@@ -134,6 +144,7 @@ class JaxEngine(HostChromMixin):
         self._merge_fisher_fn = _merge_fisher
         self._peaks_fn = _peaks
         self._reps: List[Dict[int, tuple]] = []
+        self.begin_run()
 
     # --- warmup ---------------------------------------------------------
 
@@ -244,8 +255,8 @@ class JaxEngine(HostChromMixin):
             key = (size, int(tile_len))
             cached = self._empty_cache.get(key)
             if cached is None:
-                full = jnp.asarray(np.full(size, tile_len, np.int32))
-                zero = jnp.asarray(np.zeros(size, np.uint8))
+                full = self._put(np.full(size, tile_len, np.int32))
+                zero = self._put(np.zeros(size, np.uint8))
                 # start and end share one buffer (inputs read-only)
                 cached = (full, full, zero)
                 self._empty_cache[key] = cached
@@ -257,21 +268,23 @@ class JaxEngine(HostChromMixin):
         s[:n] = ev[0]
         e[:n] = ev[1]
         c[:n] = ev[2]
-        return jnp.asarray(s), jnp.asarray(e), jnp.asarray(c)
+        return self._put(s), self._put(e), self._put(c)
 
     # --- stage 1: coverage (resident) + fragment sums -------------------
 
     def coverage_chrom(self, cidx: int, expt_ev, ctrl_ev,
-                       bed: List[int], chrom_len: int
-                       ) -> Tuple[float, float]:
-        """Pileup coverage for one chromosome; returns fragment sums.
+                       bed: List[int], chrom_len: int) -> tuple:
+        """Pileup coverage for one chromosome (async submission).
 
-        Interval arrays stay on device; only the two weighted
-        fragment-length scalars (savePileupExpt's return and
-        calcFactor's sweep, Genrich.c:2168-2295, 1980-2046) come back.
-        A chromosome longer than 2^31-1 bp overflows device int32
-        coordinates and is computed on the host instead (exact-engine
-        operations; see host_fallback.py).
+        Interval arrays stay on device; the returned handle holds the
+        two weighted fragment-length scalars (savePileupExpt's return
+        and calcFactor's sweep, Genrich.c:2168-2295, 1980-2046) as
+        device scalars — ``coverage_finish`` resolves a batch of them
+        in one blocking pass, so chromosome N+1's upload overlaps
+        chromosome N's device compute instead of serializing on a
+        per-chromosome round trip.  A chromosome longer than 2^31-1 bp
+        overflows device int32 coordinates and is computed on the host
+        instead (exact-engine operations; see host_fallback.py).
         """
         if chrom_len > INT32_MAX:
             return self.host_coverage_chrom(cidx, expt_ev, ctrl_ev,
@@ -284,15 +297,35 @@ class JaxEngine(HostChromMixin):
             size = _pad_pow2(n)
         es, ee, ec = self._pad_events(expt_ev, chrom_len, size)
         cs, ce, cc = self._pad_events(ctrl_ev, chrom_len, size)
-        excl = jnp.asarray(self._pad_excl(bed, chrom_len))
-        out = self._coverage(es, ee, ec, cs, ce, cc, excl,
-                             jnp.int32(chrom_len))
+        excl = self._put(self._pad_excl(bed, chrom_len))
+        out = self._call(self._coverage, es, ee, ec, cs, ce, cc, excl,
+                         jnp.int32(chrom_len))
         (starts, ends, ev, cr, excluded, live, frag, cfrag) = out
         self._chrom[cidx] = {
             "starts": starts, "ends": ends, "ev": ev, "cr": cr,
             "excluded": excluded, "live": live, "len": chrom_len,
         }
-        return float(frag), float(cfrag)
+        return frag, cfrag
+
+    def coverage_finish(self, handles: List[tuple]
+                        ) -> Tuple[float, float]:
+        """Resolve queued coverage handles to the two fragment sums.
+
+        One blocking gather for the whole batch; accumulation order is
+        the submission order (identical to the per-chromosome float
+        adds the sequential loop performed).
+        """
+        t0 = time.perf_counter()
+        vals = self.jax.device_get(handles)
+        p = self.perf
+        p["fetch_n"] += 1
+        p["fetch_s"] += time.perf_counter() - t0
+        frag = 0.0
+        cfrag = 0.0
+        for fe, fc in vals:
+            frag += float(fe)
+            cfrag += float(fc)
+        return frag, cfrag
 
     # --- stage 2: p-values (resident) -----------------------------------
 
@@ -304,10 +337,9 @@ class JaxEngine(HostChromMixin):
         for st in self._chrom.values():
             if st.get("host"):
                 continue
-            st["pv"] = self._stats_fn(st["ev"], st["cr"],
-                                      st["excluded"],
-                                      jnp.float32(lam),
-                                      jnp.float32(factor))
+            st["pv"] = self._call(self._stats_fn, st["ev"], st["cr"],
+                                  st["excluded"], jnp.float32(lam),
+                                  jnp.float32(factor))
         self.host_stats(lam, factor)
 
     # --- multi-replicate: archive + device Fisher ------------------------
@@ -326,10 +358,11 @@ class JaxEngine(HostChromMixin):
             if st.get("host"):
                 rep[cidx] = self.host_archive(st)
                 continue
-            e_b, pv_b, b = self._rle_pv_fn(
-                st["starts"], st["ends"], st["pv"], st["live"],
-                jnp.int32(st["len"]))
-            size = min(_pad_pow2(int(b), lo=1 << 8), e_b.shape[0])
+            e_b, pv_b, b = self._call(
+                self._rle_pv_fn, st["starts"], st["ends"], st["pv"],
+                st["live"], jnp.int32(st["len"]))
+            size = min(_pad_pow2(int(self._fetch(b)), lo=1 << 8),
+                       e_b.shape[0])
             rep[cidx] = (e_b[:size], pv_b[:size], st["len"])
         self._reps.append(rep)
         self._chrom.clear()
@@ -350,8 +383,8 @@ class JaxEngine(HostChromMixin):
                 continue
             ends_t = tuple(r[0] for r in present)
             pv_t = tuple(r[1] for r in present)
-            starts, ends, comb, live = self._merge_fisher_fn(ends_t,
-                                                             pv_t)
+            starts, ends, comb, live = self._call(
+                self._merge_fisher_fn, ends_t, pv_t)
             self._chrom[cidx] = {
                 "starts": starts, "ends": ends, "pv": comb,
                 "live": live, "len": present[0][2],
@@ -364,9 +397,9 @@ class JaxEngine(HostChromMixin):
         st = self._chrom[cidx]
         if st.get("host"):
             return self.host_pval_pileup(st)
-        e_b, pv_b, b = self._rle_pv_fn(st["starts"], st["ends"],
-                                       st["pv"], st["live"],
-                                       jnp.int32(st["len"]))
+        e_b, pv_b, b = self._call(self._rle_pv_fn, st["starts"],
+                                  st["ends"], st["pv"], st["live"],
+                                  jnp.int32(st["len"]))
         nb = int(b)
         if nb == 0:
             return Pileup(np.array([st["len"]], np.int64),
@@ -383,10 +416,10 @@ class JaxEngine(HostChromMixin):
         st = self._chrom[cidx]
         if st.get("host"):
             return self.host_pvalue_pileups(st)
-        e_b, pv_b, ev_b, cv_b, b = self._rle_fn(
-            st["starts"], st["ends"], st["pv"], st["ev"], st["cr"],
-            st["excluded"], st["live"], jnp.float32(self._lam),
-            jnp.float32(self._factor))
+        e_b, pv_b, ev_b, cv_b, b = self._call(
+            self._rle_fn, st["starts"], st["ends"], st["pv"],
+            st["ev"], st["cr"], st["excluded"], st["live"],
+            jnp.float32(self._lam), jnp.float32(self._factor))
         nb = int(b)
         if nb == 0:
             chrom_len = st["len"]
@@ -414,6 +447,9 @@ class JaxEngine(HostChromMixin):
         from . import qvalue
         jnp = self.jnp
         ps, ws = [], []
+        # submit every chromosome's distinct-compaction program first,
+        # then resolve: the fetches overlap the remaining dispatches
+        pend = []
         for st in self._chrom.values():
             if st.get("host"):
                 hp, hw = self.host_distinct(st)
@@ -421,12 +457,13 @@ class JaxEngine(HostChromMixin):
                     ps.append(np.asarray(hp, F32))
                     ws.append(np.asarray(hw, np.uint64))
                 continue
-            pv_d, w_d, d = self._distinct_fn(st["starts"], st["ends"],
-                                             st["pv"], st["live"])
-            nd = int(d)
+            pend.append(self._call(self._distinct_fn, st["starts"],
+                                   st["ends"], st["pv"], st["live"]))
+        for pv_d, w_d, d in pend:
+            nd = int(self._fetch(d))
             if nd:
-                ps.append(np.asarray(pv_d[:nd]))
-                ws.append(np.asarray(w_d[:nd]).astype(np.uint64))
+                ps.append(self._fetch(pv_d[:nd]))
+                ws.append(self._fetch(w_d[:nd]).astype(np.uint64))
         if not ps:
             self._qtable = (jnp.zeros(1, jnp.float32),
                             jnp.zeros(1, jnp.float32))
@@ -438,20 +475,20 @@ class JaxEngine(HostChromMixin):
         uv, qv, tab_p, tab_q, _, all_one = \
             qvalue.merge_distinct_tables(ps, ws, genome_len,
                                          lo=1 << 13)
-        self._qtable = (jnp.asarray(tab_p), jnp.asarray(tab_q))
+        self._qtable = (self._put(tab_p), self._put(tab_q))
         self._qtable_host = (uv, qv)
         return all_one
 
     # --- stage 4: peaks (device) ----------------------------------------
 
-    def peaks_chrom(self, cidx: int, min_pq: float, min_auc: float,
-                    min_len: int, max_gap: int, use_q: bool):
-        """Device peak calling for one chromosome.
+    def peaks_submit(self, cidx: int, min_pq: float, min_auc: float,
+                     min_len: int, max_gap: int, use_q: bool):
+        """Dispatch peak calling for one chromosome (no blocking).
 
-        Returns (start, end, auc, summit_pval, summit_qval,
-        summit_pos) numpy arrays of emitted peaks, in genomic order,
-        or None if the per-chrom candidate cap was exceeded (caller
-        falls back to the host peak caller).
+        Returns an opaque handle for ``peaks_fetch``, or None for a
+        host-fallback chromosome.  Submitting every chromosome before
+        fetching any lets the device pipeline the per-chromosome
+        programs while the host is still dispatching.
         """
         jnp = self.jnp
         st = self._chrom[cidx]
@@ -462,26 +499,43 @@ class JaxEngine(HostChromMixin):
         else:
             tab_p = tab_q = jnp.zeros(1, jnp.float32)
         cap = min(PEAK_CAP, st["starts"].shape[0])
-        res = self._peaks_fn(st["starts"], st["ends"], st["pv"],
-                             st["live"], tab_p, tab_q,
-                             jnp.float32(min_pq),
-                             jnp.float32(min_auc), min_len=min_len,
-                             max_gap=max_gap, use_q=use_q,
-                             k_peaks=cap)
-        if int(res.n_peaks) > cap:
+        ints, flts, n = self._call(
+            self._peaks_fn, st["starts"], st["ends"], st["pv"],
+            st["live"], tab_p, tab_q, jnp.float32(min_pq),
+            jnp.float32(min_auc), min_len=min_len, max_gap=max_gap,
+            use_q=use_q, k_peaks=cap)
+        return (ints, flts, n, cap)
+
+    def peaks_fetch(self, handle):
+        """Resolve a ``peaks_submit`` handle.
+
+        Returns (start, end, auc, summit_pval, summit_qval,
+        summit_pos) numpy arrays of emitted peaks, in genomic order,
+        or None if the per-chrom candidate cap was exceeded (caller
+        falls back to the host peak caller).
+        """
+        ints_d, flts_d, n_d, cap = handle
+        if int(self._fetch(n_d)) > cap:
             return None
-        valid = np.asarray(res.valid)
+        ints = self._fetch(ints_d)
+        valid = ints[3] != 0
         if not valid.any():
             z64 = np.zeros(0, np.int64)
             zf = np.zeros(0, F32)
             return (z64, z64, zf, zf, zf, z64)
+        flts = self._fetch(flts_d)
         k = np.flatnonzero(valid)
-        return (np.asarray(res.start)[k].astype(np.int64),
-                np.asarray(res.end)[k].astype(np.int64),
-                np.asarray(res.auc)[k],
-                np.asarray(res.summit_pval)[k],
-                np.asarray(res.summit_qval)[k],
-                np.asarray(res.summit_pos)[k].astype(np.int64))
+        return (ints[0, k].astype(np.int64),
+                ints[1, k].astype(np.int64),
+                flts[0, k], flts[1, k], flts[2, k],
+                ints[2, k].astype(np.int64))
+
+    def peaks_chrom(self, cidx: int, min_pq: float, min_auc: float,
+                    min_len: int, max_gap: int, use_q: bool):
+        """Blocking submit+fetch (single-chromosome convenience)."""
+        h = self.peaks_submit(cidx, min_pq, min_auc, min_len, max_gap,
+                              use_q)
+        return None if h is None else self.peaks_fetch(h)
 
     def release(self) -> None:
         self._chrom.clear()

@@ -32,6 +32,7 @@ import numpy as np
 from ..utils.cfloat import SKIP
 from ..utils.xla_cache import enable_compile_cache
 from .host_fallback import INT32_MAX, HostChromMixin
+from .perf import PerfMixin
 from .pileup import Pileup
 
 F32 = np.float32
@@ -45,7 +46,7 @@ def _pow2(n: int, lo: int = 1) -> int:
     return size
 
 
-class ShardedEngine(HostChromMixin):
+class ShardedEngine(PerfMixin, HostChromMixin):
     """Per-run sharded device context (lazy jax import)."""
 
     def __init__(self, n_devices: Optional[int] = None,
@@ -70,6 +71,9 @@ class ShardedEngine(HostChromMixin):
         self._reps: List[Dict[int, tuple]] = []
         self._qtable = None
         self._qtable_host = (np.zeros(0, F32), np.zeros(0, F32))
+        import jax.numpy as jnp
+        self.jnp = jnp               # PerfMixin helpers
+        self.begin_run()
 
     # --- grid construction ----------------------------------------------
 
@@ -185,9 +189,9 @@ class ShardedEngine(HostChromMixin):
             key = (n_tiles, w, tile_len)
             cached = self._empty_cache.get(key)
             if cached is None:
-                full = jnp.asarray(np.full((n_tiles, w), tile_len,
-                                           np.int32))
-                zero = jnp.asarray(np.zeros((n_tiles, w), np.uint8))
+                full = self._put(np.full((n_tiles, w), tile_len,
+                                         np.int32))
+                zero = self._put(np.zeros((n_tiles, w), np.uint8))
                 cached = (full, full, zero)
                 self._empty_cache[key] = cached
             cs_d, ce_d, cc_d = cached
@@ -199,13 +203,13 @@ class ShardedEngine(HostChromMixin):
                 ce = np.pad(ce, ((0, 0), (0, pad)),
                             constant_values=tile_len)
                 cc = np.pad(cc, ((0, 0), (0, pad)))
-            cs_d, ce_d, cc_d = (jnp.asarray(cs), jnp.asarray(ce),
-                                jnp.asarray(cc.astype(np.uint8)))
+            cs_d, ce_d, cc_d = (self._put(cs), self._put(ce),
+                                self._put(cc.astype(np.uint8)))
         # counts as uint8: they only index class-delta tables, and
         # the [T, E] upload is link-bandwidth-priced
-        out = kern.cov(jnp.asarray(es), jnp.asarray(ee),
-                       jnp.asarray(ec.astype(np.uint8)), cs_d, ce_d,
-                       cc_d, jnp.asarray(excl), jnp.asarray(limit))
+        out = self._call(kern.cov, self._put(es), self._put(ee),
+                         self._put(ec.astype(np.uint8)), cs_d, ce_d,
+                         cc_d, self._put(excl), self._put(limit))
         (starts, ends, ev, cr, excluded, live, frag_all,
          cfrag_all) = out
         self._chrom[cidx] = {
@@ -213,8 +217,25 @@ class ShardedEngine(HostChromMixin):
             "excluded": excluded, "live": live, "len": chrom_len,
             "tile_len": tile_len, "limit": limit,
         }
-        frag = float(np.asarray(frag_all, np.float64).sum())
-        cfrag = float(np.asarray(cfrag_all, np.float64).sum())
+        return frag_all, cfrag_all
+
+    def coverage_finish(self, handles) -> Tuple[float, float]:
+        """Resolve queued coverage handles (one blocking gather).
+
+        Per-chromosome reduction and accumulation order match the
+        previous synchronous loop exactly (numpy float64 sum of the
+        per-tile sums, then Python float adds in submission order).
+        """
+        import time as _time
+        t0 = _time.perf_counter()
+        vals = self.jax.device_get(list(handles))
+        self.perf["fetch_n"] += 1
+        self.perf["fetch_s"] += _time.perf_counter() - t0
+        frag = 0.0
+        cfrag = 0.0
+        for fe, fc in vals:
+            frag += float(np.asarray(fe, np.float64).sum())
+            cfrag += float(np.asarray(fc, np.float64).sum())
         return frag, cfrag
 
     # --- stage 2: p-values (resident) -------------------------------------
@@ -227,8 +248,8 @@ class ShardedEngine(HostChromMixin):
             if st.get("host"):
                 continue
             kern = self._kern(st["tile_len"])
-            st["pv"] = kern.stats(st["ev"], st["cr"], st["excluded"],
-                                  jnp.float32(lam),
+            st["pv"] = self._call(kern.stats, st["ev"], st["cr"],
+                                  st["excluded"], jnp.float32(lam),
                                   jnp.float32(factor))
         self.host_stats(lam, factor)
 
@@ -393,15 +414,12 @@ class ShardedEngine(HostChromMixin):
 
     # --- stage 4: peaks ------------------------------------------------------
 
-    def peaks_chrom(self, cidx: int, min_pq: float, min_auc: float,
-                    min_len: int, max_gap: int, use_q: bool):
-        """Sharded peak calling + host boundary merge for one chrom.
-
-        Returns (start, end, auc, summit_pval, summit_qval,
-        summit_pos) arrays or None when a tile exceeded the candidate
-        cap (caller falls back to the host peak caller)."""
+    def peaks_submit(self, cidx: int, min_pq: float, min_auc: float,
+                     min_len: int, max_gap: int, use_q: bool):
+        """Dispatch sharded peak calling (no blocking); None for a
+        host-fallback chromosome or a gap the boundary merge cannot
+        honor (caller falls back to the host peak caller)."""
         import jax.numpy as jnp
-        from ..ops.pipeline_jax import TileResult
         st = self._chrom[cidx]
         if st.get("host"):
             return None    # pipeline falls back to the host caller
@@ -412,11 +430,20 @@ class ShardedEngine(HostChromMixin):
             tab_p, tab_q = self._qtable
         else:
             tab_p = tab_q = jnp.zeros(1, jnp.float32)
-        res = kern.peaks(use_q, min_len, max_gap)(
-            st["starts"], st["ends"], st["pv"], st["live"], tab_p,
-            tab_q, jnp.float32(min_pq), jnp.float32(min_auc))
+        res = self._call(
+            kern.peaks(use_q, min_len, max_gap), st["starts"],
+            st["ends"], st["pv"], st["live"], tab_p, tab_q,
+            jnp.float32(min_pq), jnp.float32(min_auc))
         cap = min(PEAK_CAP, st["starts"].shape[1])
-        if int(np.asarray(res.n_peaks).max()) > cap:
+        return (res, st, cap, min_auc, min_len, max_gap)
+
+    def peaks_fetch(self, handle):
+        """Resolve a ``peaks_submit`` handle: cap check + host
+        boundary merge.  Returns peak arrays or None when a tile
+        exceeded the candidate cap."""
+        from ..ops.pipeline_jax import TileResult
+        res, st, cap, min_auc, min_len, max_gap = handle
+        if int(self._fetch(res.n_peaks).max()) > cap:
             return None
         merged = self.pmesh.merge_tile_peaks(
             TileResult(res, None, None), st["tile_len"], min_auc,
@@ -432,6 +459,13 @@ class ShardedEngine(HostChromMixin):
         sqv = np.array([m[4] for m in merged], F32)
         spos = np.array([m[5] for m in merged], np.int64)
         return starts, ends, aucs, spv, sqv, spos
+
+    def peaks_chrom(self, cidx: int, min_pq: float, min_auc: float,
+                    min_len: int, max_gap: int, use_q: bool):
+        """Blocking submit+fetch (single-chromosome convenience)."""
+        h = self.peaks_submit(cidx, min_pq, min_auc, min_len,
+                              max_gap, use_q)
+        return None if h is None else self.peaks_fetch(h)
 
     def release(self) -> None:
         self._chrom.clear()

@@ -40,18 +40,24 @@ _PROFILE = os.environ.get("GENRICH_TPU_PROFILE", "") not in ("", "0")
 
 
 @contextmanager
-def stage(name: str):
-    """Per-stage wall timer (GENRICH_TPU_PROFILE=1); the reference has
-    no profiling at all (SURVEY.md §5) — this is an extension."""
-    if not _PROFILE:
+def stage(name: str, perf: Optional[dict] = None,
+          key: Optional[str] = None):
+    """Per-stage wall timer; the reference has no profiling at all
+    (SURVEY.md §5) — this is an extension.  GENRICH_TPU_PROFILE=1
+    prints to stderr; a ``perf`` dict (serve mode) accumulates the
+    wall seconds under ``key`` for the bench decomposition."""
+    if not _PROFILE and perf is None:
         yield
         return
     t0 = time.perf_counter()
     try:
         yield
     finally:
-        sys.stderr.write(f"[profile] {name}: "
-                         f"{time.perf_counter() - t0:.3f}s\n")
+        dt = time.perf_counter() - t0
+        if _PROFILE:
+            sys.stderr.write(f"[profile] {name}: {dt:.3f}s\n")
+        if perf is not None and key:
+            perf[key] = perf.get(key, 0.0) + dt
 
 
 def _i64(x: int) -> int:
@@ -340,8 +346,11 @@ def _replicate_jax(eng, registry: ChromRegistry,
                     float(p.min_auc), int(p.min_len), int(p.max_gap),
                     bool(p.qval_opt), max_chrom_len=max_len)
 
-    frag = 0.0
-    ctrl_frag = 0.0
+    # submit every chromosome's upload+coverage program before
+    # resolving any fragment scalar: uploads and device compute
+    # pipeline across chromosomes instead of serializing on a
+    # per-chromosome device round trip
+    handles = []
     for c in registry:
         if c.skip or not c.save:
             continue
@@ -354,9 +363,13 @@ def _replicate_jax(eng, registry: ChromRegistry,
                  f"computing it on the host\n")
         ev = _chrom_events(expt_sink, c.index)
         cv = _chrom_events(ctrl_sink, c.index) if ctrl_sink else None
-        fe, fc = eng.coverage_chrom(c.index, ev, cv, c.bed, c.length)
-        frag += fe
-        ctrl_frag += fc
+        handles.append(eng.coverage_chrom(c.index, ev, cv, c.bed,
+                                          c.length))
+    if hasattr(eng, "coverage_finish"):
+        frag, ctrl_frag = eng.coverage_finish(handles)
+    else:
+        frag = sum(float(fe) for fe, _ in handles)
+        ctrl_frag = sum(float(fc) for _, fc in handles)
     if frag == 0.0:
         raise fatal("", ERREXPT)
     lam = F32(frag / genome_len)
@@ -440,10 +453,21 @@ def _find_peaks_jax(registry: ChromRegistry, eng, p: Params,
 
     count = 0
     peak_bp = 0
-    for c in chroms:
-        res = eng.peaks_chrom(c.index, float(p.pqvalue),
-                              float(p.min_auc), p.min_len, p.max_gap,
-                              bool(p.qval_opt))
+    # submit all chromosomes, then fetch: the per-chrom peak programs
+    # pipeline on the device while the host is still dispatching
+    submit = getattr(eng, "peaks_submit", None)
+    handles = [None] * len(chroms)
+    if submit is not None:
+        handles = [submit(c.index, float(p.pqvalue),
+                          float(p.min_auc), p.min_len, p.max_gap,
+                          bool(p.qval_opt)) for c in chroms]
+    for c, h in zip(chroms, handles):
+        if submit is not None:
+            res = eng.peaks_fetch(h) if h is not None else None
+        else:
+            res = eng.peaks_chrom(c.index, float(p.pqvalue),
+                                  float(p.min_auc), p.min_len,
+                                  p.max_gap, bool(p.qval_opt))
         if res is None:
             # candidate cap exceeded: host fallback for this chrom
             pu = eng.pval_pileup(c.index)
@@ -748,7 +772,8 @@ def _log_intervals(registry, pvals, qvals, n, expt, ctrl, log_stream,
                            reps, pv, qv, p, n, False)
 
 
-def run(p: Params, engine=None) -> None:
+def run(p: Params, engine=None, perf: Optional[dict] = None
+        ) -> None:
     """runProgram (Genrich.c:5386-5695).
 
     ``engine``: optional pre-built device engine (JaxEngine /
@@ -756,6 +781,10 @@ def run(p: Params, engine=None) -> None:
     (genrich_tpu/serve.py) passes one so compiled XLA programs load
     once per process instead of once per analysis.  Engines clear
     their per-run state in ``release()``; the jitted programs persist.
+
+    ``perf``: optional dict; filled with the stage-wall decomposition
+    {ingest_s, device_rep_s, findpeaks_s, ...} plus the engine's
+    upload/dispatch/fetch accounting (bench protocol).
     """
     if p.peaks_only:
         from .logreader import find_peaks_only
@@ -814,6 +843,8 @@ def run(p: Params, engine=None) -> None:
         from .engine.sharded_bridge import ShardedEngine
         jax_engine = engine if engine is not None else ShardedEngine()
     if jax_engine is not None:
+        if hasattr(jax_engine, "begin_run"):
+            jax_engine.begin_run()    # reset per-analysis accounting
         # with no interval logs, the analysis finishes on the device:
         # Fisher combination, q-values, and peak calling over
         # resident arrays
@@ -849,7 +880,7 @@ def run(p: Params, engine=None) -> None:
             hdr = (f"# {'control' if i else 'experimental'} file "
                    f"#{sample}: {filename}\n")
             sink = EventSink()
-            with stage(f"parse {filename}"):
+            with stage(f"parse {filename}", perf, "ingest_s"):
                 if nat is not None:
                     if p.dups_opt and p.dups_file:
                         _append_text(p.dups_file, p.gz_out, hdr)
@@ -880,7 +911,8 @@ def run(p: Params, engine=None) -> None:
                                                           sink)
 
         if jax_engine is not None:
-            with stage("device pileup+p-values"):
+            with stage("device pileup+p-values", perf,
+                       "device_rep_s"):
                 expt_pu, ctrl_pu = _replicate_jax(
                     jax_engine, registry, sinks[0], sinks[1], p,
                     sample, pvals, pile_stream, expt_name, ctrl_name,
@@ -896,12 +928,16 @@ def run(p: Params, engine=None) -> None:
         if p.peaks_opt else None
     log_stream = _row_stream(p.log_file)
 
-    with stage("findPeaks"):
+    with stage("findPeaks", perf, "findpeaks_s"):
         if full_device:
             _find_peaks_jax(registry, jax_engine, p, out_stream)
         else:
             find_peaks(registry, pvals, sample, expt_pu, ctrl_pu,
                        out_stream, log_stream, p)
+
+    if perf is not None and jax_engine is not None \
+            and hasattr(jax_engine, "perf"):
+        perf.update(jax_engine.perf)
 
     for s in (out_stream, log_stream, pile_stream, bed_stream,
               dups_stream):

@@ -66,13 +66,23 @@ def serve_loop(default_args: Optional[List[str]] = None,
             p = parse_args(default_args + shlex.split(line))
             eng = _engine(p.engine) if p.engine in ("jax", "sharded") \
                 else None
+            perf: dict = {}
             try:
-                run(p, engine=eng)
+                run(p, engine=eng, perf=perf)
             finally:
                 if eng is not None:
                     eng.release()    # per-run state; programs persist
-            print(f"OK {time.perf_counter() - t0:.3f}",
-                  file=stdout, flush=True)
+            # OK <wall> <json>: the stage/link decomposition of this
+            # analysis (ingest wall, upload bytes/time, dispatch and
+            # blocking-fetch counts) — bench_e2e records it so warm
+            # serve time is a measured split, not a guess
+            import json
+            msg = f"OK {time.perf_counter() - t0:.3f}"
+            if perf:
+                msg += " " + json.dumps(
+                    {k: (round(v, 4) if isinstance(v, float) else v)
+                     for k, v in perf.items()}, sort_keys=True)
+            print(msg, file=stdout, flush=True)
         except GenrichError as e:
             sys.stderr.write(e.render() + "\n")
             print(f"ERR {time.perf_counter() - t0:.3f}",

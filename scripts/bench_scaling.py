@@ -108,9 +108,37 @@ def time_leg(n_devices: int, fixture, reps: int = 5):
     return times[len(times) // 2], merged
 
 
+def _pin_one_core() -> None:
+    """Confine every thread of this process to a single CPU so every
+    leg runs the same fixed work on the same one core.
+
+    Round 3's numbers were confounded: XLA:CPU gives each virtual
+    device its own thread, so the D>=4 legs exploited the box's
+    second core while the D=1 program could not — "efficiencies" over
+    100%.  With the whole process pinned to one core no leg can win
+    by threading, and t(1)/t(D) isolates exactly the shard_map
+    partitioning + collective overhead (VERDICT r3 ask #5).
+
+    Must run AFTER the jax backend exists: XLA caps the forced
+    host-platform device count at the visible cores, so pinning
+    before init would collapse the 8-device mesh to 1.  ``taskset
+    -a`` retargets the already-spawned XLA threads; threads created
+    later inherit the pinned mask.
+    """
+    import subprocess
+    r = subprocess.run(["taskset", "-a", "-p", "1", str(os.getpid())],
+                       capture_output=True)
+    if r.returncode != 0:
+        try:                     # fallback: at least the main thread
+            os.sched_setaffinity(0, {0})
+        except (AttributeError, OSError) as exc:
+            sys.stderr.write(f"# warning: could not pin: {exc}\n")
+
+
 def main() -> None:
     import jax
     devs = jax.devices()
+    _pin_one_core()
     tiles = 8
     assert len(devs) >= tiles, (
         f"need >= {tiles} devices (set JAX_PLATFORMS=cpu and "
@@ -119,10 +147,12 @@ def main() -> None:
     out = {"tiles": tiles, "tile_len": 1 << 16,
            "events_per_tile": 1 << 12, "t_ms_by_D": {},
            "overhead_pct_by_D": {}, "efficiency_pct_by_D": {},
-           "note": ("virtual CPU mesh, all devices share the same "
-                    "physical cores: fixed total work, so "
-                    "t(1)/t(D) isolates shard_map+collective "
-                    "overhead, not real multi-chip speedup")}
+           "note": ("virtual CPU mesh pinned to ONE core: every leg "
+                    "runs identical total work with no threading "
+                    "headroom, so t(1)/t(D) is purely the shard_map "
+                    "partitioning + collective overhead (an upper "
+                    "bound on the loss real ICI collectives would "
+                    "add); it is NOT a multi-chip speedup claim")}
     base = None
     peaks0 = None
     for d in (1, 2, 4, 8):
