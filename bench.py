@@ -55,15 +55,24 @@ def _measure_hbm_bw(jax, jnp) -> float:
     stalls don't contaminate the number.  This is the roofline
     denominator — measured on this chip, not a spec sheet.
     """
+    iters = 64
     x = jnp.ones(1 << 24, jnp.float32)
-    f = jax.jit(lambda a: a * jnp.float32(1.0000001))
+    c = jnp.float32(1.0000001)
+
+    @jax.jit
+    def f(a):
+        # fori_loop: 64 full read+write passes inside ONE program, so
+        # the ~25 ms relay dispatch round-trip amortizes away instead
+        # of dominating (a single-pass probe here measured "5 GB/s")
+        return jax.lax.fori_loop(0, iters, lambda i, y: y * c, a)
+
     jax.block_until_ready(f(x))
     best = float("inf")
-    for _ in range(7):
+    for _ in range(5):
         t0 = time.perf_counter()
         jax.block_until_ready(f(x))
         best = min(best, time.perf_counter() - t0)
-    return 2.0 * x.nbytes / best
+    return iters * 2.0 * x.nbytes / best
 
 
 def _roofline(bw: float, n_rows: int, sort_payload_sum_b: int,

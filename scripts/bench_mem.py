@@ -1,14 +1,22 @@
-"""Peak-memory comparison at scale: reference vs --engine exact.
+"""Scale ladder: reference vs --engine exact at 2M/10M/40M pairs.
 
-The reference's memory is O(genome): dense 3 B/bp diff arrays
-(/root/reference/README.md:533 — 17.1 GB on its published 146M-record
-run, 8.4 GB floor at hg19 scale) plus per-read dedup structures.  The
-event-based engine is O(events).  This measures both as hard numbers
-(ru_maxrss via wait4) on a 10M-pair (~24M-record) hg19-scale BGZF
-BAM — the largest footprint leg VERDICT r2 asked for — and checks
-byte-parity while at it.
+Two claims need evidence at scale (VERDICT r3 ask #3):
 
-Run:  python scripts/bench_mem.py [n_pairs]     (default 10M)
+- the >=10x end-to-end speedup survives at the reference's published
+  regime (146M records, /root/reference/README.md:467,496) — the 40M-
+  pair rung is ~97M records, two thirds of that scale;
+- per-record cost is flat: round 3 measured exact-engine throughput
+  *decaying* 1.55M -> 843K records/s from 4.9M to 24.4M records.  The
+  cause was allocator behavior (glibc mmap/munmap per genome-scale
+  temporary — see utils/malloc_tuning.py), fixed in round 4; the
+  ladder's rec/s column is the regression check.
+
+Memory is measured as hard ru_maxrss via wait4: the reference holds
+dense 3 B/bp diff arrays (README.md:533 — 17.1 GB on its published
+run), the event engine is O(events).  Byte-parity is asserted at
+every rung.
+
+Run:  python scripts/bench_mem.py [n_pairs ...]   (default 2M 10M 40M)
 Emits one JSON line; intended for a committed MEMBENCH_r*.json.
 """
 
@@ -23,14 +31,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bench_e2e import FLAGS, _bam_path, _oracle_bin, _run_rss  # noqa: E402
 
 
-def main() -> None:
-    n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+def _rung(n_pairs: int, ref: str) -> dict:
     bam = _bam_path(n_pairs)
-    ref = _oracle_bin()
-    out = {"n_pairs": n_pairs, "flags": " ".join(FLAGS)}
+    out = {"n_pairs": n_pairs}
+    # page-cache warmup: both contenders read a cached BAM
+    with open(bam, "rb") as f:
+        while f.read(1 << 24):
+            pass
     with tempfile.TemporaryDirectory() as d:
         t, rc, err, rss = _run_rss([ref, "-t", bam, "-o", "ref.np",
-                                    "-v"] + FLAGS, d, 3600.0)
+                                    "-v"] + FLAGS, d, 7200.0)
         assert rc == 0, (err or "")[-500:]
         out["ref_s"] = round(t, 2)
         out["ref_rss_mb"] = round(rss, 1)
@@ -39,7 +49,7 @@ def main() -> None:
                 out["records"] = int(line.split()[-1])
         t, rc, err, rss = _run_rss(
             [sys.executable, "-m", "genrich_tpu", "-t", bam, "-o",
-             "exact.np", "--engine", "exact"] + FLAGS, d, 3600.0,
+             "exact.np", "--engine", "exact"] + FLAGS, d, 7200.0,
             extra_env={"PALLAS_AXON_POOL_IPS": ""})
         assert rc == 0, (err or "")[-500:]
         out["exact_s"] = round(t, 2)
@@ -50,6 +60,23 @@ def main() -> None:
         out["speedup"] = round(out["ref_s"] / out["exact_s"], 3)
         out["rss_ratio"] = round(out["ref_rss_mb"]
                                  / out["exact_rss_mb"], 2)
+        if "records" in out:
+            out["exact_rec_per_s"] = round(
+                out["records"] / out["exact_s"], 1)
+            out["ref_rec_per_s"] = round(
+                out["records"] / out["ref_s"], 1)
+    return out
+
+
+def main() -> None:
+    rungs = [int(a) for a in sys.argv[1:]] \
+        or [2_000_000, 10_000_000, 40_000_000]
+    ref = _oracle_bin()
+    out = {"flags": " ".join(FLAGS),
+           "host": {"cpus": os.cpu_count(),
+                    "loadavg": [round(x, 2)
+                                for x in os.getloadavg()]},
+           "ladder": [_rung(n, ref) for n in rungs]}
     print(json.dumps(out))
 
 

@@ -37,6 +37,22 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# This measurement needs the virtual 8-device CPU mesh.  A TPU-pool
+# sitecustomize (axon) claims the backend at interpreter start
+# regardless of JAX_PLATFORMS, so plain env vars set by the caller can
+# be too late — re-exec once with the full required environment.
+if os.environ.get("GENRICH_SCALING_CHILD") != "1":
+    env = dict(os.environ)
+    env.update({"GENRICH_SCALING_CHILD": "1",
+                "JAX_PLATFORMS": "cpu",
+                "PALLAS_AXON_POOL_IPS": "",
+                "XLA_FLAGS": (env.get("XLA_FLAGS", "") +
+                              " --xla_force_host_platform_device_"
+                              "count=8").strip()})
+    os.execve(sys.executable,
+              [sys.executable, os.path.abspath(__file__)]
+              + sys.argv[1:], env)
+
 
 def build_fixture(tiles: int, tile_len: int, events_per_tile: int):
     import numpy as np
@@ -77,7 +93,7 @@ def build_fixture(tiles: int, tile_len: int, events_per_tile: int):
     return (t_s, t_e, t_c, c_s, c_e, c_c, excl, tile_len, genome)
 
 
-def time_leg(n_devices: int, fixture, reps: int = 5):
+def time_leg(n_devices: int, fixture, reps: int = 9):
     import jax
     import numpy as np
     from genrich_tpu.parallel import mesh as pmesh
