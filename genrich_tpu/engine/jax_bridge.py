@@ -114,6 +114,29 @@ class JaxEngine(PerfMixin, HostChromMixin):
 
         from functools import partial
 
+        @partial(jax.jit, static_argnames=("size",))
+        def _expand16(s, ln, c, tile_len, size):
+            # tight uint16-length upload -> full [size] event triple
+            pad = size - s.shape[0]
+            e = s + ln.astype(jnp.int32)
+            fill = jnp.full((pad,), tile_len, jnp.int32)
+            return (jnp.concatenate([s, fill]),
+                    jnp.concatenate([e, fill]),
+                    jnp.concatenate([c, jnp.zeros((pad,),
+                                                  jnp.uint8)]))
+
+        @partial(jax.jit, static_argnames=("size",))
+        def _expand32(s, e, c, tile_len, size):
+            pad = size - s.shape[0]
+            fill = jnp.full((pad,), tile_len, jnp.int32)
+            return (jnp.concatenate([s, fill]),
+                    jnp.concatenate([e, fill]),
+                    jnp.concatenate([c, jnp.zeros((pad,),
+                                                  jnp.uint8)]))
+
+        self._expand16 = _expand16
+        self._expand32 = _expand32
+
         @partial(jax.jit, static_argnames=("min_len", "max_gap",
                                            "use_q", "k_peaks"))
         def _peaks(starts, ends, pv, live, tab_p, tab_q, min_pq,
@@ -247,10 +270,19 @@ class JaxEngine(PerfMixin, HostChromMixin):
         return excl
 
     def _pad_events(self, ev, tile_len: int, size: int):
+        """Stage one chromosome's events to the device at ``size``.
+
+        Upload cost is link-bandwidth-priced (~15-25 MB/s tunneled),
+        so the host ships the *tight* power-of-two of the actual
+        event count — starts as int32, lengths as uint16 when they
+        fit (ATAC windows and real fragments are short), counts as
+        uint8 (the 1..10 multimapper codes) — and a trivial device
+        program reconstructs ends and pads out to the global shape
+        bucket.  7 bytes/event at ~62% of the bucket beats the dense
+        9-byte full-bucket upload by ~2.3x on the wire; every
+        downstream program still sees exactly one [bucket] shape.
+        """
         jnp = self.jnp
-        # counts ride as uint8 (values are the 1..10 multimapper
-        # codes): they only ever index the class-delta tables on
-        # device, and the upload is link-bandwidth-priced
         if ev is None:
             key = (size, int(tile_len))
             cached = self._empty_cache.get(key)
@@ -261,14 +293,29 @@ class JaxEngine(PerfMixin, HostChromMixin):
                 cached = (full, full, zero)
                 self._empty_cache[key] = cached
             return cached
-        s = np.full(size, tile_len, np.int32)
-        e = np.full(size, tile_len, np.int32)
-        c = np.zeros(size, np.uint8)
         n = len(ev[0])
+        # tight = n rounded to a 1/16-bucket granule: at most 16
+        # distinct (tight, size) expand shapes per bucket (each a
+        # trivial compile, disk-cached), for up to ~2.3x fewer bytes
+        # on the wire than a dense 9-byte full-bucket upload
+        granule = max(size // 16, 1 << 14)
+        tight = min(-(-max(n, 1) // granule) * granule, size)
+        s = np.full(tight, tile_len, np.int32)
+        c = np.zeros(tight, np.uint8)
         s[:n] = ev[0]
-        e[:n] = ev[1]
         c[:n] = ev[2]
-        return self._put(s), self._put(e), self._put(c)
+        lens = np.asarray(ev[1]) - np.asarray(ev[0])
+        if n and int(lens.max()) < (1 << 16):
+            ln = np.zeros(tight, np.uint16)
+            ln[:n] = lens
+            return self._call(self._expand16, self._put(s),
+                              self._put(ln), self._put(c),
+                              jnp.int32(tile_len), size=size)
+        e = np.full(tight, tile_len, np.int32)
+        e[:n] = ev[1]
+        return self._call(self._expand32, self._put(s), self._put(e),
+                          self._put(c), jnp.int32(tile_len),
+                          size=size)
 
     # --- stage 1: coverage (resident) + fragment sums -------------------
 

