@@ -94,3 +94,28 @@ def test_serve_survives_unexpected_errors(tmp_path):
     ])
     assert [ln.split()[0] for ln in out] == ["READY", "ERR", "OK"]
     assert (tmp_path / "ok.np").stat().st_size > 0
+
+
+def test_serve_ok_line_carries_decomposition(tmp_path):
+    """OK lines embed the per-analysis perf decomposition as JSON:
+    stage walls (ingest) always; upload/dispatch/fetch accounting for
+    device engines (the bench protocol parses this)."""
+    import json
+    oracle.random_sam(str(tmp_path / "in.sam"), seed=13)
+    base = "-t in.sam -y -p 0.01 -a 20"
+    out = _serve(tmp_path, [
+        f"{base} -o exact.np",
+        f"{base} -o jax.np --engine jax",
+    ])
+    oks = [ln for ln in out if ln.startswith("OK")]
+    assert len(oks) == 2
+    for ln in oks:
+        parts = ln.split(None, 2)
+        assert len(parts) == 3, ln
+        perf = json.loads(parts[2])
+        assert "ingest_s" in perf
+    jax_perf = json.loads(oks[1].split(None, 2)[2])
+    for key in ("upload_bytes", "dispatch_n", "fetch_s"):
+        assert key in jax_perf, jax_perf
+    assert jax_perf["upload_bytes"] > 0
+    assert jax_perf["dispatch_n"] > 0
