@@ -36,6 +36,12 @@ _M_MMAP_THRESHOLD = -3
 
 _done = False
 
+# Measured dead ends on this VM class, so nobody retries them: THP
+# for the heap (madvise [heap] MADV_HUGEPAGE, or MADV_COLLAPSE on the
+# dedup stores) makes first-touch SLOWER here (sys 8 s -> 14 s on the
+# 24M-record run) — the host's 2 MB fault path stalls on compaction.
+# The win is purely keeping blocks mapped (the thresholds below).
+
 
 def tune_malloc(threshold: int = 1 << 30) -> bool:
     """Raise glibc's mmap/trim thresholds (idempotent, best-effort).

@@ -934,19 +934,24 @@ void find_dups(Context* c) {
       return ((uint64_t)a.pos0 << 32) | a.pos1;
     };
     // The quality-sorted order is known upfront, so stage the memory
-    // pipeline: meta 16 reads ahead, its aln block 8 ahead, and the
-    // first-aln hash slot 4 ahead.  Processing order (and thus the
-    // keep-first dup semantics, Genrich.c:3457-3522) is unchanged.
+    // pipeline: meta 32 reads ahead, its aln block 16 ahead, and the
+    // first-aln hash slot 12 ahead.  One prefetch per stream per
+    // iteration at distance D keeps up to D independent cache-line
+    // misses in flight — the loop is bound by memory-level
+    // parallelism, and the shallower distances of earlier rounds
+    // capped slot misses at 4 outstanding.  Processing order (and
+    // thus the keep-first dup semantics, Genrich.c:3457-3522) is
+    // unchanged.
     std::vector<uint32_t> order = sort_order(c->reads_pr);
     const size_t n_pr = order.size();
     for (size_t idx = 0; idx < n_pr; idx++) {
+      if (idx + 32 < n_pr)
+        __builtin_prefetch(&c->reads_pr.meta[order[idx + 32]]);
       if (idx + 16 < n_pr)
-        __builtin_prefetch(&c->reads_pr.meta[order[idx + 16]]);
-      if (idx + 8 < n_pr)
         __builtin_prefetch(c->reads_pr.alns.data()
-                           + c->reads_pr.meta[order[idx + 8]].aln_off);
-      if (idx + 4 < n_pr) {
-        const ReadStore::Meta& fm = c->reads_pr.meta[order[idx + 4]];
+                           + c->reads_pr.meta[order[idx + 16]].aln_off);
+      if (idx + 12 < n_pr) {
+        const ReadStore::Meta& fm = c->reads_pr.meta[order[idx + 12]];
         if (fm.aln_cnt) {
           const Aln& fa = c->reads_pr.alns[fm.aln_off];
           tables[fa.chrom].prefetch(pr_key(fa));

@@ -32,39 +32,64 @@ from bench_e2e import FLAGS, _bam_path, _oracle_bin, _run_rss  # noqa: E402
 
 
 def _rung(n_pairs: int, ref: str) -> dict:
+    """One rung, A-B-B-A balanced: ref, exact, exact, ref.
+
+    The box's CPU budget drifts over a multi-minute rung (episodic
+    steal / burst-credit exhaustion), so a single ref-then-exact pair
+    systematically biases against whichever ran second.  The
+    palindromic order gives each contender one early and one late
+    slot; the reported ratio is median(ref) / median(exact) with both
+    legs' rep times in the artifact.
+    """
     bam = _bam_path(n_pairs)
     out = {"n_pairs": n_pairs}
     # page-cache warmup: both contenders read a cached BAM
     with open(bam, "rb") as f:
         while f.read(1 << 24):
             pass
+    ref_cmd = [ref, "-t", bam, "-o", "ref.np", "-v"] + FLAGS
+    exact_cmd = [sys.executable, "-m", "genrich_tpu", "-t", bam,
+                 "-o", "exact.np", "--engine", "exact"] + FLAGS
+    exact_env = {"PALLAS_AXON_POOL_IPS": ""}
     with tempfile.TemporaryDirectory() as d:
-        t, rc, err, rss = _run_rss([ref, "-t", bam, "-o", "ref.np",
-                                    "-v"] + FLAGS, d, 7200.0)
-        assert rc == 0, (err or "")[-500:]
-        out["ref_s"] = round(t, 2)
-        out["ref_rss_mb"] = round(rss, 1)
+        ref_t, ex_t = [], []
+        ref_rss = ex_rss = 0.0
+        err = ""
+        for leg in ("ref", "exact", "exact", "ref"):
+            if leg == "ref":
+                t, rc, e_, rss = _run_rss(ref_cmd, d, 7200.0)
+                assert rc == 0, (e_ or "")[-500:]
+                ref_t.append(t)
+                ref_rss = max(ref_rss, rss)
+                err = e_
+            else:
+                t, rc, e_, rss = _run_rss(exact_cmd, d, 7200.0,
+                                          extra_env=exact_env)
+                assert rc == 0, (e_ or "")[-500:]
+                ex_t.append(t)
+                ex_rss = max(ex_rss, rss)
+        out["ref_s"] = round(sorted(ref_t)[0], 2)
+        out["ref_rep_s"] = [round(t, 2) for t in ref_t]
+        out["ref_rss_mb"] = round(ref_rss, 1)
         for line in err.splitlines():
             if "records analyzed" in line:
                 out["records"] = int(line.split()[-1])
-        t, rc, err, rss = _run_rss(
-            [sys.executable, "-m", "genrich_tpu", "-t", bam, "-o",
-             "exact.np", "--engine", "exact"] + FLAGS, d, 7200.0,
-            extra_env={"PALLAS_AXON_POOL_IPS": ""})
-        assert rc == 0, (err or "")[-500:]
-        out["exact_s"] = round(t, 2)
-        out["exact_rss_mb"] = round(rss, 1)
+        out["exact_s"] = round(sorted(ex_t)[0], 2)
+        out["exact_rep_s"] = [round(t, 2) for t in ex_t]
+        out["exact_rss_mb"] = round(ex_rss, 1)
         out["exact_match"] = (
             open(os.path.join(d, "ref.np"), "rb").read()
             == open(os.path.join(d, "exact.np"), "rb").read())
-        out["speedup"] = round(out["ref_s"] / out["exact_s"], 3)
+        # ratio of means: each side weighs its early+late slot equally
+        mean = lambda xs: sum(xs) / len(xs)   # noqa: E731
+        out["speedup"] = round(mean(ref_t) / mean(ex_t), 3)
         out["rss_ratio"] = round(out["ref_rss_mb"]
                                  / out["exact_rss_mb"], 2)
         if "records" in out:
             out["exact_rec_per_s"] = round(
-                out["records"] / out["exact_s"], 1)
+                out["records"] / mean(ex_t), 1)
             out["ref_rec_per_s"] = round(
-                out["records"] / out["ref_s"], 1)
+                out["records"] / mean(ref_t), 1)
     return out
 
 
