@@ -197,3 +197,22 @@ def test_device_engine_big_chrom_host_fallback(tmp_path, engine):
     # positions above 2^31 actually exercised
     assert any(int(ln.split("\t")[1]) > 0x7FFFFFFF for ln in exact
                if ln.startswith("chrBig\t"))
+
+
+def test_jax_engine_long_fragment_upload_path():
+    """Fragments >= 2^16 bp fall back to the int32-ends upload
+    (lengths no longer fit the uint16 wire format); coverage math
+    must be unaffected."""
+    import numpy as np
+    _env()
+    from genrich_tpu.engine.jax_bridge import JaxEngine
+    eng = JaxEngine()
+    ev = (np.array([100, 5000], np.int64),
+          np.array([200000, 5100], np.int64),
+          np.array([1, 1], np.int64))
+    h = eng.coverage_chrom(0, ev, None, [], 1 << 20)
+    frag, cfrag = eng.coverage_finish([h])
+    # sum(len * coverage) over the two fragments
+    assert abs(frag - ((200000 - 100) + 100)) < 1e-3
+    assert cfrag == 0.0
+    eng.release()
