@@ -481,9 +481,17 @@ class ShardedEngine(PerfMixin, HostChromMixin):
         """Resolve a ``peaks_submit`` handle: cap check + host
         boundary merge.  Returns peak arrays or None when a tile
         exceeded the candidate cap."""
+        import time as _time
         from ..ops.pipeline_jax import TileResult
         res, st, cap, min_auc, min_len, max_gap = handle
-        if int(self._fetch(res.n_peaks).max()) > cap:
+        # one device_get for the whole TilePeaks pytree: the merge
+        # reads most fields, and per-field np.asarray pulls would each
+        # pay a link round trip
+        t0 = _time.perf_counter()
+        res = self.jax.device_get(res)
+        self.perf["fetch_n"] += 1
+        self.perf["fetch_s"] += _time.perf_counter() - t0
+        if int(res.n_peaks.max()) > cap:
             return None
         merged = self.pmesh.merge_tile_peaks(
             TileResult(res, None, None), st["tile_len"], min_auc,
