@@ -138,3 +138,33 @@ def test_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_excluded_mask_large_table_sort_fallback():
+    """_excluded switches to the one-sort searchsorted formulation
+    above 1024 table entries; both methods must agree with a numpy
+    reference on boundary-inclusive semantics."""
+    import numpy as np
+    import jax.numpy as jnp
+    from genrich_tpu.ops.pipeline_jax import _excluded
+    rng = np.random.RandomState(3)
+    for pairs in (16, 700):          # compare_all path and sort path
+        bounds = np.sort(rng.choice(1 << 20, 2 * pairs,
+                                    replace=False)).astype(np.int32)
+        excl = bounds.reshape(-1, 2)
+        starts = rng.randint(0, 1 << 20, 4096).astype(np.int32)
+        # reference: inside some [s, e) -- searchsorted right parity
+        idx = np.searchsorted(bounds, starts, side="right")
+        want = (idx % 2) == 1
+        got = np.asarray(_excluded(jnp.asarray(starts),
+                                   jnp.asarray(excl)))
+        assert (got == want).all()
+        # force the sort path regardless of size (pad the table)
+        pad = np.full((1200 - pairs, 2), 1 << 20, np.int32)
+        excl_big = np.concatenate([excl, pad])
+        idx2 = np.searchsorted(excl_big.reshape(-1), starts,
+                               side="right")
+        want2 = (idx2 % 2) == 1
+        got2 = np.asarray(_excluded(jnp.asarray(starts),
+                                    jnp.asarray(excl_big)))
+        assert (got2 == want2).all()
