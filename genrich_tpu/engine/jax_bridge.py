@@ -17,11 +17,14 @@ parity.  Reference semantics mirrored per stage:
   q-values          computeQval           Genrich.c:146-401
   peak calling      callPeaks             Genrich.c:977-1069
 
-Chromosome event lists are padded to power-of-two sizes so XLA
-compiles a handful of kernel shapes, reused across chromosomes and
-replicates; compiled programs persist in an on-disk cache
-(~/.cache/genrich_tpu/xla or $GENRICH_TPU_XLA_CACHE) because remote
-compilation can cost ~15 s per shape.
+Chromosome events upload tight (starts int32 + lengths uint16 +
+counts uint8 at a 1/16-bucket granule) and a trivial device program
+expands them to one global power-of-two bucket, so XLA compiles a
+handful of kernel shapes, reused across chromosomes and replicates;
+compiled programs persist in an on-disk cache, partitioned by
+(platform, relay-vs-local, host ISA) (~/.cache/genrich_tpu/xla or
+$GENRICH_TPU_XLA_CACHE) because remote compilation can cost ~15 s
+per shape.
 """
 
 from __future__ import annotations

@@ -25,6 +25,7 @@ Genrich.c:5697-5719); this is a TPU-native extension.
 
 from __future__ import annotations
 
+import json
 import shlex
 import sys
 import time
@@ -76,7 +77,6 @@ def serve_loop(default_args: Optional[List[str]] = None,
             # analysis (ingest wall, upload bytes/time, dispatch and
             # blocking-fetch counts) — bench_e2e records it so warm
             # serve time is a measured split, not a guess
-            import json
             msg = f"OK {time.perf_counter() - t0:.3f}"
             if perf:
                 msg += " " + json.dumps(
