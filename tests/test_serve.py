@@ -119,3 +119,32 @@ def test_serve_ok_line_carries_decomposition(tmp_path):
         assert key in jax_perf, jax_perf
     assert jax_perf["upload_bytes"] > 0
     assert jax_perf["dispatch_n"] > 0
+
+
+def test_serve_heterogeneous_inputs_reprepare(tmp_path):
+    """A serve process fed inputs of different shapes must re-derive
+    its shape policy per analysis (round-3 advisor finding: the old
+    prepare-once guard kept the first input's bucket/grid forever).
+    Larger-after-smaller is the correctness-critical direction."""
+    oracle.random_sam(str(tmp_path / "small.sam"), seed=21,
+                      n_pairs=80)
+    oracle.random_sam(str(tmp_path / "big.sam"), seed=22,
+                      n_pairs=900)
+    for engine in ("jax", "sharded"):
+        out = _serve(tmp_path, [
+            f"-t small.sam -y -p 0.01 -a 20 -o s_{engine}.np "
+            f"--engine {engine}",
+            f"-t big.sam -y -p 0.01 -a 20 -o b_{engine}.np "
+            f"--engine {engine}",
+        ])
+        assert sum(1 for ln in out if ln.startswith("OK")) == 2, out
+        # fresh-process oracle for the big input
+        r = oracle.run_ours(["-t", str(tmp_path / "big.sam"), "-y",
+                             "-p", "0.01", "-a", "20", "-o",
+                             "fresh.np", "--engine", engine],
+                            cwd=str(tmp_path),
+                            env={"PALLAS_AXON_POOL_IPS": "",
+                                 "JAX_PLATFORMS": "cpu"})
+        assert r.returncode == 0, r.stderr[-800:]
+        assert (tmp_path / f"b_{engine}.np").read_text() \
+            == (tmp_path / "fresh.np").read_text()
