@@ -413,6 +413,11 @@ class ShardedEngine(PerfMixin, HostChromMixin):
         from . import qvalue
         import jax.numpy as jnp
         ps, ws = [], []
+        # submit every chromosome's distinct program before resolving
+        # any (fetches then overlap the remaining dispatches); a
+        # too-small k re-dispatches just that chromosome — loud,
+        # never silent truncation
+        pend = []
         for st in self._chrom.values():
             if st.get("host"):
                 hp, hw = self.host_distinct(st)
@@ -421,19 +426,24 @@ class ShardedEngine(PerfMixin, HostChromMixin):
                     ws.append(np.asarray(hw, np.uint64))
                 continue
             kern = self._kern(st["tile_len"])
+            pend.append((st, kern, self._call(
+                kern.distinct, st["starts"], st["ends"], st["pv"],
+                st["live"])))
+        for st, kern, out in pend:
+            pv_all, w_all, d_all = out
             while True:
-                pv_all, w_all, d_all = kern.distinct(
-                    st["starts"], st["ends"], st["pv"], st["live"])
-                d_np = np.asarray(d_all).reshape(-1)
+                d_np = self._fetch(d_all).reshape(-1)
                 if (d_np <= kern.k).all():
                     break
-                # widen k and retry (loud, never silent truncation)
                 kern = self.pmesh.ShardedKernels(
                     self.mesh, st["tile_len"],
                     k_distinct=_pow2(int(d_np.max())))
                 self._kernels[st["tile_len"]] = kern
-            pv_g = np.asarray(pv_all)
-            w_g = np.asarray(w_all)
+                pv_all, w_all, d_all = self._call(
+                    kern.distinct, st["starts"], st["ends"],
+                    st["pv"], st["live"])
+            pv_g = self._fetch(pv_all)
+            w_g = self._fetch(w_all)
             for i, d in enumerate(d_np):
                 d = int(d)
                 if d:
