@@ -99,3 +99,48 @@ def test_parallel_error_first_span_wins(tmp_path):
             want = r.stderr
         else:
             assert r.stderr == want
+
+
+def test_parallel_strtol_flag_mapq_fields(tmp_path):
+    """FLAG/MAPQ values only strtol accepts ('+16', negative MAPQ):
+    the walker must classify them exactly like the worker's get_long
+    (round-3 advisor finding), so the parallel parse stays
+    byte-identical to sequential — and both to the reference, whose
+    getInt is also strtol-based."""
+    b = oracle.SamBuilder([("chr1", 100000)], seed=9)
+    for i in range(60):
+        b.add_pair("chr1", 1000 + 13 * i, 1500 + 13 * i)
+    b.write(str(tmp_path / "in.sam"))
+    # rewrite some records' FLAG/MAPQ into strtol-accepted oddities:
+    # an explicit '+' sign, and a negative MAPQ (casts to uint8 246)
+    lines = (tmp_path / "in.sam").read_text().splitlines()
+    out = []
+    n_odd = 0
+    for ln in lines:
+        f = ln.split("\t")
+        if not ln.startswith("@") and len(f) > 10:
+            if n_odd % 3 == 0:
+                f[1] = "+" + f[1]
+            elif n_odd % 3 == 1:
+                f[4] = "-10"
+            n_odd += 1
+        out.append("\t".join(f))
+    (tmp_path / "in.sam").write_text("\n".join(out) + "\n")
+    seq_env = {"GENRICH_INGEST_THREADS": "0"}
+    par_env = {"GENRICH_INGEST_THREADS": "3",
+               "GENRICH_INGEST_SPAN": "613"}
+    ds, es = _run(tmp_path, "seqf", "in.sam", ["-y"], seq_env)
+    dp, ep = _run(tmp_path, "parf", "in.sam", ["-y"], par_env)
+    assert (ds / "out.np").read_bytes() == (dp / "out.np").read_bytes()
+    assert es == ep
+    # and both equal the compiled reference on the same oddities
+    import subprocess
+    ref = oracle.build_oracle()
+    d = tmp_path / "ref"
+    d.mkdir()
+    r = subprocess.run([ref, "-t", str(tmp_path / "in.sam"), "-o",
+                        "out.np", "-y", "-p", "0.01", "-a", "20"],
+                       cwd=str(d), capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert (d / "out.np").read_bytes() \
+        == (ds / "out.np").read_bytes()
