@@ -45,7 +45,8 @@ TILE_LEN = 1 << 24                  # 16.8 Mbp tiles
 EVENTS_PER_TILE = 1 << 19           # ~88M fragments genome-wide
 BATCH = 48                          # tiles per dispatch (vmap axis)
 BATCH_PROD = 8                      # production shape: 8-channel sort
-REPS = 5                            # full-genome scans (median)
+REPS = 7                            # full-genome scans (median
+                                    # robust to <=3 relay stalls)
 
 
 def _measure_hbm_bw(jax, jnp) -> float:
