@@ -144,3 +144,15 @@ def test_parallel_strtol_flag_mapq_fields(tmp_path):
     assert r.returncode == 0, r.stderr
     assert (d / "out.np").read_bytes() \
         == (ds / "out.np").read_bytes()
+
+
+@pytest.mark.parametrize("seed", [700, 705, 711, 723])
+def test_parallel_fuzz_configs(tmp_path, seed, monkeypatch):
+    """Random config x random data differential fuzz with the
+    span-parallel parser forced on: same oracle comparison as
+    test_golden_fuzz, exercising walker classification, span merges,
+    and shard warning buffers under arbitrary flag mixes."""
+    monkeypatch.setenv("GENRICH_INGEST_THREADS", "3")
+    monkeypatch.setenv("GENRICH_INGEST_SPAN", "731")
+    import test_golden_fuzz as fz
+    fz.test_fuzz_config(tmp_path, seed)
