@@ -27,6 +27,7 @@
 #include <unordered_map>
 #include <vector>
 #include <algorithm>
+#include <type_traits>
 #include <sys/mman.h>
 #include <zlib.h>
 #ifdef USE_LIBDEFLATE
@@ -62,6 +63,92 @@ enum {
   ERRCHRLEN = 22, ERRPOS = 24, ERRSORT = 25, ERRTYPE = 26, ERRAUX = 27,
   ERRLINEAR = 29, ERRINDEX = 30, ERRISSUE = 33, ERRGZIP = 42,
   ERRCIGAR = 44,
+};
+
+// ---- hugepage-backed growable arrays --------------------------------
+//
+// The dedup stores and event buffers reach several GB at production
+// scale, and the dedup loops random-access them in quality order.
+// With 4 KB pages that access pattern is page-walk-bound (the PTE
+// working set itself falls out of cache), and glibc's heap gets no
+// hugepages while the host THP mode is "madvise".  HVec replaces
+// std::vector for those arrays:
+//   - mmap-backed with MADV_HUGEPAGE (Linux >= 6.7 aligns large
+//     anonymous mappings to 2 MB boundaries, so the advice takes);
+//   - grown with mremap, which moves page tables instead of copying
+//     bytes: growth is cheap and never holds old+new copies at once,
+//     unlike vector doubling (which transiently doubles RSS for the
+//     largest array);
+//   - released eagerly (munmap) the moment a phase no longer needs
+//     the data, returning the pages to the OS immediately.
+// Trivially-copyable element types only.
+template <typename T>
+struct HVec {
+  static_assert(std::is_trivially_copyable<T>::value,
+                "HVec holds POD only");
+  T* ptr = nullptr;
+  size_t len = 0, cap = 0;
+  size_t bytes = 0;                    // mapped length (mremap needs it)
+
+  HVec() = default;
+  HVec(const HVec&) = delete;
+  HVec& operator=(const HVec&) = delete;
+  HVec(HVec&& o) noexcept { swap(o); }
+  HVec& operator=(HVec&& o) noexcept {
+    if (this != &o) { release(); swap(o); }
+    return *this;
+  }
+  ~HVec() { release(); }
+  void swap(HVec& o) noexcept {
+    std::swap(ptr, o.ptr); std::swap(len, o.len);
+    std::swap(cap, o.cap); std::swap(bytes, o.bytes);
+  }
+
+  size_t size() const { return len; }
+  bool empty() const { return len == 0; }
+  T* data() { return ptr; }
+  const T* data() const { return ptr; }
+  T* begin() { return ptr; }
+  T* end() { return ptr + len; }
+  const T* begin() const { return ptr; }
+  const T* end() const { return ptr + len; }
+  T& operator[](size_t i) { return ptr[i]; }
+  const T& operator[](size_t i) const { return ptr[i]; }
+  T& back() { return ptr[len - 1]; }
+
+  void clear() { len = 0; }
+  void release() {
+    if (ptr) munmap(ptr, bytes);
+    ptr = nullptr; len = cap = bytes = 0;
+  }
+  void reserve(size_t want) {
+    size_t wb = want * sizeof(T);
+    if (wb <= bytes) { cap = bytes / sizeof(T); return; }
+    size_t nb = bytes ? bytes : (size_t)(4u << 20);
+    while (nb < wb) nb <<= 1;
+    void* np = ptr
+        ? mremap(ptr, bytes, nb, MREMAP_MAYMOVE)
+        : mmap(nullptr, nb, PROT_READ | PROT_WRITE,
+               MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+    if (np == MAP_FAILED) fail("memory map", ERRMEM);
+    ptr = (T*)np;
+    madvise(np, nb, MADV_HUGEPAGE);
+    bytes = nb;
+    cap = nb / sizeof(T);
+  }
+  void push_back(const T& v) {
+    if (len == cap) reserve(len + 1);
+    ptr[len++] = v;
+  }
+  void append(const T* src, size_t n) {
+    if (len + n > cap) reserve(len + n);
+    memcpy(ptr + len, src, n * sizeof(T));
+    len += n;
+  }
+  void resize(size_t n) {              // contents of new tail undefined
+    if (n > cap) reserve(n);
+    len = n;
+  }
 };
 
 // ---- data model -----------------------------------------------------
@@ -101,8 +188,8 @@ struct Options {
 };
 
 struct EventBuf {
-  std::vector<int64_t> start, end;
-  std::vector<int32_t> count;
+  HVec<int64_t> start, end;
+  HVec<int32_t> count;
 };
 
 struct ReadStore {
@@ -118,18 +205,27 @@ struct ReadStore {
     float score = NOSCORE, score_r2 = NOSCORE;
     uint32_t name_off = 0;
   };
-  std::vector<Meta> meta;
-  std::vector<Aln> alns;
-  std::string names;
+  HVec<Meta> meta;
+  HVec<Aln> alns;
+  HVec<char> names;
+  // summed-quality histogram, maintained at append time so dedup's
+  // counting sort never needs a dedicated sweep over meta
+  std::vector<uint32_t> qhist = std::vector<uint32_t>(1 << 16, 0);
   size_t size() const { return meta.size(); }
-  void clear() { meta.clear(); alns.clear(); names.clear(); }
+  void clear() {
+    meta.clear(); alns.clear(); names.clear();
+    std::fill(qhist.begin(), qhist.end(), 0);
+  }
+  void release() {
+    meta.release(); alns.release(); names.release();
+    std::fill(qhist.begin(), qhist.end(), 0);
+  }
   const char* name(const Meta& m) const {
     return names.data() + m.name_off;
   }
   uint32_t add_name(const std::string& q) {
     uint32_t off = (uint32_t)names.size();
-    names.append(q);
-    names.push_back('\0');
+    names.append(q.c_str(), q.size() + 1);
     return off;
   }
 };
@@ -199,6 +295,10 @@ struct Context {
   // terms and the merge replays the divisions+adds in file order so
   // the double is bit-identical to a sequential parse
   std::vector<std::pair<uint64_t, uint8_t>> len_terms;
+  // phase wall times from the last gi_parse (filled when
+  // GENRICH_NATIVE_PROF is set; surfaced through gi_prof so bench
+  // artifacts can carry the native phase split)
+  double prof_records_s = 0.0, prof_dedup_s = 0.0;
 };
 
 // Warning printf: sequential contexts write straight to stderr;
@@ -498,7 +598,7 @@ int process_single(Context* c, const NameRef& q, const Aln* alns,
 // ---- dedup stores ---------------------------------------------------
 
 uint32_t copy_alns(Context* c, float score, bool first,
-                   std::vector<Aln>* arena) {
+                   HVec<Aln>* arena) {
   if (score != NOSCORE) score = score - c->opt.as_diff;
   uint32_t n = 0;
   for (const Aln& a : c->alns)
@@ -529,6 +629,7 @@ void save_alns(Context* c, const std::string& q, bool pair,
         st.alns.push_back(b);
         m.aln_cnt++;
       }
+    st.qhist[m.qual]++;
     st.meta.push_back(m);
   } else if (c->opt.single_opt) {
     if (single_r1 && single_r2) {
@@ -544,6 +645,7 @@ void save_alns(Context* c, const std::string& q, bool pair,
       m.aln_cnt = (uint16_t)copy_alns(c, score_r1, true, &st.alns);
       m.aln2_off = (uint32_t)st.alns.size();
       m.aln2_cnt = (uint16_t)copy_alns(c, score_r2, false, &st.alns);
+      st.qhist[m.qual]++;
       st.meta.push_back(m);
     } else if (single_r1 || single_r2) {
       ReadStore& st = c->reads_sn;
@@ -555,6 +657,7 @@ void save_alns(Context* c, const std::string& q, bool pair,
       m.aln_off = (uint32_t)st.alns.size();
       m.aln_cnt = (uint16_t)copy_alns(c, m.score, single_r1,
                                       &st.alns);
+      st.qhist[m.qual]++;
       st.meta.push_back(m);
     }
   }
@@ -883,8 +986,8 @@ std::vector<uint32_t> sort_order(const ReadStore& reads) {
   // a comparison sort of (qual << 32 | index) u64s ~10x.
   const size_t n = reads.size();
   std::vector<uint32_t> cnt(1 << 16, 0);
-  for (size_t i = 0; i < n; i++)
-    cnt[0xFFFFu - reads.meta[i].qual]++;
+  for (size_t q = 0; q < cnt.size(); q++)
+    cnt[0xFFFFu - q] = reads.qhist[q];
   uint32_t run = 0;
   for (size_t q = 0; q < cnt.size(); q++) {
     uint32_t c = cnt[q];
@@ -922,6 +1025,7 @@ void find_dups(Context* c) {
     return st.name(st.meta[v & ~TAG_MASK]);
   };
 
+  double t_scatter_s = 0.0;
   {  // properly paired: one 64-bit-key table per chromosome
     std::vector<OAMap64> tables(c->chroms.size());
     {
@@ -933,36 +1037,91 @@ void find_dups(Context* c) {
     auto pr_key = [](const Aln& a) {
       return ((uint64_t)a.pos0 << 32) | a.pos1;
     };
-    // The quality-sorted order is known upfront, so stage the memory
-    // pipeline: meta 32 reads ahead, its aln block 16 ahead, and the
-    // first-aln hash slot 12 ahead.  One prefetch per stream per
-    // iteration at distance D keeps up to D independent cache-line
-    // misses in flight — the loop is bound by memory-level
-    // parallelism, and the shallower distances of earlier rounds
-    // capped slot misses at 4 outstanding.  Processing order (and
-    // thus the keep-first dup semantics, Genrich.c:3457-3522) is
-    // unchanged.
-    std::vector<uint32_t> order = sort_order(c->reads_pr);
-    const size_t n_pr = order.size();
-    for (size_t idx = 0; idx < n_pr; idx++) {
-      if (idx + 32 < n_pr)
-        __builtin_prefetch(&c->reads_pr.meta[order[idx + 32]]);
-      if (idx + 16 < n_pr)
-        __builtin_prefetch(c->reads_pr.alns.data()
-                           + c->reads_pr.meta[order[idx + 16]].aln_off);
-      if (idx + 12 < n_pr) {
-        const ReadStore::Meta& fm = c->reads_pr.meta[order[idx + 12]];
-        if (fm.aln_cnt) {
-          const Aln& fa = c->reads_pr.alns[fm.aln_off];
-          tables[fa.chrom].prefetch(pr_key(fa));
+    const size_t n_pr = c->reads_pr.size();
+
+    // Stage 1 (scatter): permute each read's probe-relevant fields
+    // into descending-quality order in ONE file-order sweep.  The
+    // counting-sort slot for a read is known from the quality
+    // histogram (maintained at append time), so the sweep reads
+    // meta+alns SEQUENTIALLY and scatters 24-byte work records.
+    // Earlier rounds instead walked meta/alns through a quality-order
+    // permutation inside the probe loop itself; at production scale
+    // those three dependent random streams (meta -> aln block -> hash
+    // slot) were page-walk-bound — per-read cost grew 4x from 24M to
+    // 97M records as the stores outgrew the TLB's reach.  After the
+    // scatter, the probe loop's only random stream is the hash table.
+    // Processing order (and thus the keep-first dup semantics,
+    // Genrich.c:3457-3522) is unchanged: slots are assigned in file
+    // order within each quality value, identical to the reference's
+    // stable johnSort.
+    struct PrWork {
+      uint64_t key;              // (pos0<<32)|pos1 of the first aln
+      uint32_t idx;              // meta index (file order) = table value
+      uint32_t name_off;
+      float score;
+      int16_t chrom;             // first aln's chromosome
+      uint16_t cnt;              // alignments in this read's block
+    };
+    static_assert(sizeof(PrWork) == 24, "PrWork packs to 24 B");
+    HVec<PrWork> work;
+    bool small_chroms = c->chroms.size() <= 32767;
+    if (small_chroms && n_pr) {
+      auto s0 = std::chrono::steady_clock::now();
+      work.resize(n_pr);
+      std::vector<uint32_t> slot(1 << 16);
+      {
+        uint32_t run = 0;
+        for (size_t q = (1 << 16); q-- > 0;) {
+          slot[q] = run;
+          run += c->reads_pr.qhist[q];
         }
       }
-      const uint32_t i = order[idx];
-      const ReadStore::Meta& m = c->reads_pr.meta[i];
-      const Aln* alns = c->reads_pr.alns.data() + m.aln_off;
+      const ReadStore::Meta* meta = c->reads_pr.meta.data();
+      const Aln* arena = c->reads_pr.alns.data();
+      for (size_t i = 0; i < n_pr; i++) {
+        const ReadStore::Meta& m = meta[i];
+        uint32_t s = slot[m.qual]++;
+        PrWork w;
+        if (m.aln_cnt) {
+          const Aln& a = arena[m.aln_off];
+          w.key = pr_key(a);
+          w.chrom = (int16_t)a.chrom;
+        } else {
+          w.key = 0;
+          w.chrom = 0;
+        }
+        w.idx = (uint32_t)i;
+        w.name_off = m.name_off;
+        w.score = m.score;
+        w.cnt = m.aln_cnt;
+        work[s] = w;
+      }
+      if (fd_prof)
+        t_scatter_s = std::chrono::duration<double>(
+            std::chrono::steady_clock::now() - s0).count();
+    }
+
+    // Stage 2 (probe): sequential walk of the quality-ordered work
+    // array; the hash-slot prefetch runs ahead on the single
+    // remaining random stream.  Multi-alignment reads (rare) fall
+    // back to their arena block.
+    auto probe_read = [&](const PrWork& w) {
+      const ReadStore::Meta& m = c->reads_pr.meta[w.idx];
+      Aln first;                 // single-aln fast path: no arena read
+      const Aln* alns = nullptr;
+      if (w.cnt == 1) {
+        first.pos0 = (uint32_t)(w.key >> 32);
+        first.pos1 = (uint32_t)w.key;
+        first.score = w.score;
+        first.paired = first.full_ = true;
+        first.chrom = w.chrom;
+        alns = &first;
+      } else if (w.cnt) {
+        alns = c->reads_pr.alns.data() + m.aln_off;
+      }
       const Aln* hit = nullptr;
       uint32_t match = UINT32_MAX;
-      for (uint16_t k = 0; k < m.aln_cnt; k++) {
+      for (uint16_t k = 0; k < w.cnt; k++) {
         const Aln& a = alns[k];
         uint32_t v = tables[a.chrom].find(pr_key(a));
         if (v != UINT32_MAX) { hit = &a; match = v; break; }
@@ -975,24 +1134,70 @@ void find_dups(Context* c) {
                "%s\t%s:%u-%u\t%s\tpaired\n", c->reads_pr.name(m),
                c->chroms[hit->chrom].name.c_str(), hit->pos0,
                hit->pos1, c->reads_pr.name(c->reads_pr.meta[match]));
-        continue;
+        return;
       }
-      for (uint16_t k = 0; k < m.aln_cnt; k++) {
+      for (uint16_t k = 0; k < w.cnt; k++) {
         const Aln& a = alns[k];
-        tables[a.chrom].put(pr_key(a), i);
+        tables[a.chrom].put(pr_key(a), w.idx);
         if (seed_singles) {
-          table_sn.put(sn_key(a.chrom, a.pos0, true), i | TAG_PR);
-          table_sn.put(sn_key(a.chrom, a.pos1, false), i | TAG_PR);
+          table_sn.put(sn_key(a.chrom, a.pos0, true), w.idx | TAG_PR);
+          table_sn.put(sn_key(a.chrom, a.pos1, false), w.idx | TAG_PR);
         }
       }
       if (fd_prof) {
         auto p0 = std::chrono::steady_clock::now();
         c->ctr.paired_pr += process_pair(
-            c, NameRef(c->reads_pr, m.name_off), alns,
-            m.aln_cnt, m.score);
+            c, NameRef(c->reads_pr, w.name_off), alns, w.cnt, w.score);
         t_pair_s += std::chrono::duration<double>(
             std::chrono::steady_clock::now() - p0).count();
       } else {
+        c->ctr.paired_pr += process_pair(
+            c, NameRef(c->reads_pr, w.name_off), alns, w.cnt, w.score);
+      }
+    };
+
+    if (small_chroms) {
+      for (size_t s = 0; s < n_pr; s++) {
+        if (s + 16 < n_pr) {
+          const PrWork& f = work[s + 16];
+          tables[f.chrom].prefetch(f.key);
+        }
+        probe_read(work[s]);
+      }
+    } else {
+      // >32767 chromosomes (scaffold-heavy assemblies): PrWork's
+      // int16 chrom can't represent the first aln; take the
+      // permutation path instead of scattering.
+      std::vector<uint32_t> order = sort_order(c->reads_pr);
+      for (size_t idx = 0; idx < n_pr; idx++) {
+        const uint32_t i = order[idx];
+        const ReadStore::Meta& m = c->reads_pr.meta[i];
+        const Aln* alns = c->reads_pr.alns.data() + m.aln_off;
+        const Aln* hit = nullptr;
+        uint32_t match = UINT32_MAX;
+        for (uint16_t k = 0; k < m.aln_cnt; k++) {
+          const Aln& a = alns[k];
+          uint32_t v = tables[a.chrom].find(pr_key(a));
+          if (v != UINT32_MAX) { hit = &a; match = v; break; }
+        }
+        c->ctr.count_pr++;
+        if (hit) {
+          c->ctr.dups_pr++;
+          if (dups_verb)
+            outf(c, c->dups_out, c->dups_out_f,
+                 "%s\t%s:%u-%u\t%s\tpaired\n", c->reads_pr.name(m),
+                 c->chroms[hit->chrom].name.c_str(), hit->pos0,
+                 hit->pos1, c->reads_pr.name(c->reads_pr.meta[match]));
+          continue;
+        }
+        for (uint16_t k = 0; k < m.aln_cnt; k++) {
+          const Aln& a = alns[k];
+          tables[a.chrom].put(pr_key(a), i);
+          if (seed_singles) {
+            table_sn.put(sn_key(a.chrom, a.pos0, true), i | TAG_PR);
+            table_sn.put(sn_key(a.chrom, a.pos1, false), i | TAG_PR);
+          }
+        }
         c->ctr.paired_pr += process_pair(
             c, NameRef(c->reads_pr, m.name_off), alns,
             m.aln_cnt, m.score);
@@ -1001,10 +1206,10 @@ void find_dups(Context* c) {
   }
   if (fd_prof)
     fprintf(stderr, "[native] find_dups(pr): %.3fs of which "
-            "process_pair: %.3fs (%zu reads)\n",
+            "scatter: %.3fs process_pair: %.3fs (%zu reads)\n",
             std::chrono::duration<double>(
                 std::chrono::steady_clock::now() - fd_t0).count(),
-            t_pair_s, c->reads_pr.size());
+            t_scatter_s, t_pair_s, c->reads_pr.size());
 
   if (!c->opt.single_opt) return;
 
@@ -1710,17 +1915,17 @@ void add_counters(Counters* a, const Counters& b) {
 void merge_store(ReadStore* dst, const ReadStore& src) {
   uint32_t aln_base = (uint32_t)dst->alns.size();
   uint32_t name_base = (uint32_t)dst->names.size();
-  dst->alns.insert(dst->alns.end(), src.alns.begin(),
-                   src.alns.end());
-  dst->names.append(src.names);
+  dst->alns.append(src.alns.data(), src.alns.size());
+  dst->names.append(src.names.data(), src.names.size());
   size_t m0 = dst->meta.size();
-  dst->meta.insert(dst->meta.end(), src.meta.begin(),
-                   src.meta.end());
+  dst->meta.append(src.meta.data(), src.meta.size());
   for (size_t i = m0; i < dst->meta.size(); i++) {
     dst->meta[i].aln_off += aln_base;
     dst->meta[i].aln2_off += aln_base;
     dst->meta[i].name_off += name_base;
   }
+  for (size_t q = 0; q < src.qhist.size(); q++)
+    dst->qhist[q] += src.qhist[q];
 }
 
 void merge_shard(Context* c, Context* s) {
@@ -1742,9 +1947,9 @@ void merge_shard(Context* c, Context* s) {
   for (size_t ci = 0; ci < s->events.size(); ci++) {
     EventBuf& d = c->events[ci];
     EventBuf& e = s->events[ci];
-    d.start.insert(d.start.end(), e.start.begin(), e.start.end());
-    d.end.insert(d.end.end(), e.end.begin(), e.end.end());
-    d.count.insert(d.count.end(), e.count.begin(), e.count.end());
+    d.start.append(e.start.data(), e.start.size());
+    d.end.append(e.end.data(), e.end.size());
+    d.count.append(e.count.data(), e.count.size());
   }
   for (auto& u : s->unpair) c->unpair.push_back(std::move(u));
   merge_store(&c->reads_pr, s->reads_pr);
@@ -2463,13 +2668,24 @@ int64_t gi_parse(void* h, const char* path, int is_bam_hint, int ctrl,
     count = bam ? (int64_t)read_bam(c, rd) : (int64_t)read_sam(c, rd);
     c->ctr.count = (uint64_t)count;
     auto t1 = std::chrono::steady_clock::now();
-    if (c->opt.dups_opt) find_dups(c);
-    else if (c->opt.avg_ext_opt) process_avg_ext(c);
+    if (c->opt.dups_opt) {
+      find_dups(c);
+      // the stores exist only for dedup; release them now so the
+      // numeric phase doesn't carry GBs of dead read metadata
+      c->reads_pr.release();
+      c->reads_dc.release();
+      c->reads_sn.release();
+    } else if (c->opt.avg_ext_opt) {
+      process_avg_ext(c);
+    }
     auto t2 = std::chrono::steady_clock::now();
-    if (prof)
+    if (prof) {
       fprintf(stderr, "[native] records: %.3fs  post(find_dups): %.3fs\n",
               std::chrono::duration<double>(t1 - t0).count(),
               std::chrono::duration<double>(t2 - t1).count());
+      c->prof_records_s = std::chrono::duration<double>(t1 - t0).count();
+      c->prof_dedup_s = std::chrono::duration<double>(t2 - t1).count();
+    }
   } catch (const IngestError& e) {
     c->err_code = e.code;
     c->err_msg = e.msg;
