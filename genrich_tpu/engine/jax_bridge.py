@@ -307,8 +307,11 @@ class JaxEngine(PerfMixin, HostChromMixin):
         c = np.zeros(tight, np.uint8)
         s[:n] = ev[0]
         c[:n] = ev[2]
+        # uint16 wire only when every length fits AND none is negative
+        # (ends < starts would wrap to a huge uint16); mirrors the
+        # sharded _stage_events guard
         lens = np.asarray(ev[1]) - np.asarray(ev[0])
-        if n and int(lens.max()) < (1 << 16):
+        if n and int(lens.max()) < (1 << 16) and int(lens.min()) >= 0:
             ln = np.zeros(tight, np.uint16)
             ln[:n] = lens
             return self._call(self._expand16, self._put(s),

@@ -12,8 +12,15 @@ resident process:
   - runs it with a per---engine cached JaxEngine/ShardedEngine, so
     compiled programs persist across analyses;
   - prints one status line per analysis to stdout:
-      ``OK <wall_seconds>``  or  ``ERR <message>``
+      ``OK <wall_seconds> [<perf_json>]``  or  ``ERR <wall_seconds>``
     (stderr carries the usual -v output), and ``READY`` at startup.
+
+PROTOCOL NOTE (changed in round 4): the OK line carries an optional
+third token — a JSON object with the stage/link decomposition of the
+analysis (ingest wall, upload bytes/time, dispatch and blocking-fetch
+counts).  Clients must split the status line on the FIRST two
+whitespace fields only (``line.split(None, 2)``), not into exactly
+two tokens.
 
 An empty line or ``EXIT`` ends the loop.  The warm legs of
 scripts/bench_e2e.py drive this to separate one-time program-load

@@ -1406,12 +1406,15 @@ long get_long(const char* s) {
 // CIGAR walk: consume <digits><op> tokens left to right, summing the
 // query-sequence length (M/=/X/I/S) and the query-vs-reference span
 // correction into *offset (I/S consume query only, D reference only;
-// N/H/P consume neither).  Validation mirrors the SAM field rules
-// (reference: parseCigar, Genrich.c:4408-4445): a token with no
-// leading digits is an integer error with an empty payload, an
-// unrecognized opcode names itself quoted in the message, and a
-// trailing digit run with no opcode is silently ignored.  The string
-// is read in place, never modified.
+// N/H/P consume neither).  Validation follows the reference's
+// parseCigar (Genrich.c:4408-4445) with one deliberate tightening:
+// a token with no leading digits raises an integer error with an
+// empty payload, where the reference's getInt accepts the empty
+// digit run as 0 (it never checks endptr) and so tolerates a bare
+// opcode on a degenerate CIGAR.  As in the reference, an
+// unrecognized opcode names itself quoted in the message and a
+// trailing digit run with no opcode is silently ignored.  The
+// string is read in place, never modified.
 int parse_cigar(const char* cigar, int* offset) {
   int length = 0;
   const char* p = cigar;
