@@ -977,6 +977,23 @@ struct OAMap64 {
       i = (i + 1) & mask;
     }
   }
+  // One probe chain for the single-key read path: returns the
+  // existing value for k (a duplicate), or UINT32_MAX after
+  // inserting (k, v) at the chain's terminal empty slot — find()
+  // followed by put() walks the same chain twice for every non-dup.
+  uint32_t find_or_put(uint64_t k, uint32_t v) {
+    if (2 * used >= mask) grow();
+    size_t i = mix(k) & mask;
+    for (;;) {
+      Slot& s = slot[i];
+      if (s.val == UINT32_MAX) {
+        s.k = k; s.val = v; used++;
+        return UINT32_MAX;
+      }
+      if (s.k == k) return s.val;
+      i = (i + 1) & mask;
+    }
+  }
 };
 
 std::vector<uint32_t> sort_order(const ReadStore& reads) {
@@ -1105,20 +1122,57 @@ void find_dups(Context* c) {
     // array; the hash-slot prefetch runs ahead on the single
     // remaining random stream.  Multi-alignment reads (rare) fall
     // back to their arena block.
+    // GENRICH_NATIVE_PROF=2 additionally times every process_pair
+    // call; at =1 the per-call clock reads (2 per read) would inflate
+    // the probe phase they are meant to decompose
+    const bool fd_deep = fd_prof && [] {
+      const char* e = getenv("GENRICH_NATIVE_PROF");
+      return e && e[0] == '2';
+    }();
+    auto run_pair = [&](const PrWork& w, const Aln* alns) {
+      if (fd_deep) {
+        auto p0 = std::chrono::steady_clock::now();
+        c->ctr.paired_pr += process_pair(
+            c, NameRef(c->reads_pr, w.name_off), alns, w.cnt, w.score);
+        t_pair_s += std::chrono::duration<double>(
+            std::chrono::steady_clock::now() - p0).count();
+      } else {
+        c->ctr.paired_pr += process_pair(
+            c, NameRef(c->reads_pr, w.name_off), alns, w.cnt, w.score);
+      }
+    };
     auto probe_read = [&](const PrWork& w) {
-      const ReadStore::Meta& m = c->reads_pr.meta[w.idx];
-      Aln first;                 // single-aln fast path: no arena read
-      const Aln* alns = nullptr;
-      if (w.cnt == 1) {
+      c->ctr.count_pr++;
+      if (w.cnt == 1) {          // 1-aln fast path: no arena read,
+        Aln first;               // one probe chain for find+insert
         first.pos0 = (uint32_t)(w.key >> 32);
         first.pos1 = (uint32_t)w.key;
         first.score = w.score;
         first.paired = first.full_ = true;
         first.chrom = w.chrom;
-        alns = &first;
-      } else if (w.cnt) {
-        alns = c->reads_pr.alns.data() + m.aln_off;
+        uint32_t v = tables[w.chrom].find_or_put(w.key, w.idx);
+        if (v != UINT32_MAX) {
+          c->ctr.dups_pr++;
+          if (dups_verb)
+            outf(c, c->dups_out, c->dups_out_f,
+                 "%s\t%s:%u-%u\t%s\tpaired\n",
+                 c->reads_pr.name(c->reads_pr.meta[w.idx]),
+                 c->chroms[first.chrom].name.c_str(), first.pos0,
+                 first.pos1, c->reads_pr.name(c->reads_pr.meta[v]));
+          return;
+        }
+        if (seed_singles) {
+          table_sn.put(sn_key(w.chrom, first.pos0, true),
+                       w.idx | TAG_PR);
+          table_sn.put(sn_key(w.chrom, first.pos1, false),
+                       w.idx | TAG_PR);
+        }
+        run_pair(w, &first);
+        return;
       }
+      const ReadStore::Meta& m = c->reads_pr.meta[w.idx];
+      const Aln* alns =
+          w.cnt ? c->reads_pr.alns.data() + m.aln_off : nullptr;
       const Aln* hit = nullptr;
       uint32_t match = UINT32_MAX;
       for (uint16_t k = 0; k < w.cnt; k++) {
@@ -1126,7 +1180,6 @@ void find_dups(Context* c) {
         uint32_t v = tables[a.chrom].find(pr_key(a));
         if (v != UINT32_MAX) { hit = &a; match = v; break; }
       }
-      c->ctr.count_pr++;
       if (hit) {
         c->ctr.dups_pr++;
         if (dups_verb)
@@ -1144,16 +1197,7 @@ void find_dups(Context* c) {
           table_sn.put(sn_key(a.chrom, a.pos1, false), w.idx | TAG_PR);
         }
       }
-      if (fd_prof) {
-        auto p0 = std::chrono::steady_clock::now();
-        c->ctr.paired_pr += process_pair(
-            c, NameRef(c->reads_pr, w.name_off), alns, w.cnt, w.score);
-        t_pair_s += std::chrono::duration<double>(
-            std::chrono::steady_clock::now() - p0).count();
-      } else {
-        c->ctr.paired_pr += process_pair(
-            c, NameRef(c->reads_pr, w.name_off), alns, w.cnt, w.score);
-      }
+      run_pair(w, alns);
     };
 
     if (small_chroms) {
@@ -1548,7 +1592,11 @@ struct BgzfMT {
   std::vector<std::thread> workers;
 
   BgzfMT(FILE* fh, int nthreads)
-      : f(fh), ring((size_t)(4 * nthreads + 4)) {
+      // deep ring (a few MB): the consumer alternates between
+      // parse-heavy bursts (workers fill the ring, then idle) and
+      // drain bursts; 12 slots of headroom per worker keeps the
+      // inflate pool busy across a whole parse burst
+      : f(fh), ring((size_t)(12 * nthreads + 40)) {
     for (int i = 0; i < nthreads; i++)
       workers.emplace_back([this] { worker(); });
   }
@@ -2383,6 +2431,21 @@ float bam_score(const uint8_t* extra, int len) {
   return NOSCORE;
 }
 
+// GENRICH_ABLATE=frame|fields cuts the record loop short for perf
+// attribution (frame: BGZF+framing only; fields: +field decode and
+// filters, no group processing).  Output is wrong under ablation —
+// measurement only.
+int ablate_mode() {
+  static int mode = [] {
+    const char* e = getenv("GENRICH_ABLATE");
+    if (!e || !*e) return 0;
+    if (!strcmp(e, "frame")) return 1;
+    if (!strcmp(e, "fields")) return 2;
+    return 0;
+  }();
+  return mode;
+}
+
 // one BAM alignment record (shared by the sequential reader and the
 // parallel span workers); b points at the block body of block_size
 // bytes, idx maps BAM ref ids -> registry chrom indices
@@ -2427,6 +2490,11 @@ void parse_bam_record(Context* c, const uint8_t* b,
 
   // full name vs the MAX_ALNS-truncated stored one, like the
   // reference's strcmp against its char[MAX_ALNS] buffer
+  if (ablate_mode() == 2) {      // fields decoded; skip processing
+    float s_ = bam_score(extra, extra_len);
+    (void)s_;
+    return;
+  }
   if (c->read_name.size() != rl
       || memcmp(rn, c->read_name.data(), rl) != 0) {
     flush_group(c);
@@ -2571,6 +2639,7 @@ uint64_t read_bam(Context* c, Reader& rd) {
       const uint8_t* b = rd.take((size_t)block_size);
       if (!b) fail("", ERRBAM);
       count++;
+      if (ablate_mode() == 1) continue;       // frame-only probe
       parse_bam_record(c, b, block_size, idx);
     }
     flush_group(c);
