@@ -480,11 +480,12 @@ class JaxEngine(PerfMixin, HostChromMixin):
                         np.zeros(1, F32))
             return (Pileup(pu.end, np.zeros(1, F32)),
                     Pileup(pu.end, np.full(1, F32(self._lam))), pu)
-        ends = np.asarray(e_b[:nb]).astype(np.int64)
-        pv = np.asarray(pv_b[:nb]).astype(F32)
-        ev = np.asarray(ev_b[:nb]).astype(F32)
-        cv = np.asarray(cv_b[:nb]).astype(F32)
-        return Pileup(ends, ev), Pileup(ends, cv), Pileup(ends, pv)
+        e_np, pv_np, ev_np, cv_np = self._fetch_many(
+            (e_b[:nb], pv_b[:nb], ev_b[:nb], cv_b[:nb]))
+        ends = e_np.astype(np.int64)
+        return (Pileup(ends, ev_np.astype(F32)),
+                Pileup(ends, cv_np.astype(F32)),
+                Pileup(ends, pv_np.astype(F32)))
 
     # --- stage 3: q-values ----------------------------------------------
 
@@ -512,11 +513,20 @@ class JaxEngine(PerfMixin, HostChromMixin):
                 continue
             pend.append(self._call(self._distinct_fn, st["starts"],
                                    st["ends"], st["pv"], st["live"]))
-        for pv_d, w_d, d in pend:
-            nd = int(self._fetch(d))
-            if nd:
-                ps.append(self._fetch(pv_d[:nd]))
-                ws.append(self._fetch(w_d[:nd]).astype(np.uint64))
+        if pend:
+            # one pull for every chromosome's count, then one pull
+            # for all the sliced tables (each np.asarray here costs a
+            # full relay round trip)
+            nds = self._fetch_many([d for _, _, d in pend])
+            live = [(pv_d[:int(nd)], w_d[:int(nd)])
+                    for (pv_d, w_d, _), nd in zip(pend, nds)
+                    if int(nd)]
+            if live:
+                flat = self._fetch_many(
+                    [x for pair in live for x in pair])
+                for i in range(0, len(flat), 2):
+                    ps.append(flat[i])
+                    ws.append(flat[i + 1].astype(np.uint64))
         if not ps:
             self._qtable = (jnp.zeros(1, jnp.float32),
                             jnp.zeros(1, jnp.float32))

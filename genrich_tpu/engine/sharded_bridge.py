@@ -238,10 +238,15 @@ class ShardedEngine(PerfMixin, HostChromMixin):
             key = (n_tiles, w, tile_len)
             cached = self._empty_cache.get(key)
             if cached is None:
-                full = self._put(np.full((n_tiles, w), tile_len,
-                                         np.int32))
-                zero = self._put(np.zeros((n_tiles, w), np.uint8))
-                cached = (full, full, zero)
+                # stage the all-padding triple through the expand
+                # kernel: the wire carries one granule-wide tight
+                # array (~w/16 slots) instead of a full [n_tiles, w]
+                # constant (was the bulk of the sharded engine's
+                # upload tax on no-ctrl runs)
+                cached = self._stage_events(
+                    np.full((n_tiles, 0), tile_len, np.int64),
+                    np.full((n_tiles, 0), tile_len, np.int64),
+                    np.zeros((n_tiles, 0), np.int64), w, tile_len)
                 self._empty_cache[key] = cached
             cs_d, ce_d, cc_d = cached
         else:
@@ -380,9 +385,9 @@ class ShardedEngine(PerfMixin, HostChromMixin):
         run's companion values, i.e. the run's final boundary row).
         """
         tile_len = st["tile_len"]
-        b_np = np.asarray(b)
-        e_np = np.asarray(e_b)
-        v_np = [np.asarray(v) for v in vals]
+        fetched = self._fetch_many((b, e_b) + tuple(vals))
+        b_np, e_np = fetched[0], fetched[1]
+        v_np = list(fetched[2:])
         ends_parts, val_parts = [], [[] for _ in v_np]
         for t in range(e_np.shape[0]):
             n = int(b_np[t])
@@ -442,8 +447,7 @@ class ShardedEngine(PerfMixin, HostChromMixin):
                 pv_all, w_all, d_all = self._call(
                     kern.distinct, st["starts"], st["ends"],
                     st["pv"], st["live"])
-            pv_g = self._fetch(pv_all)
-            w_g = self._fetch(w_all)
+            pv_g, w_g = self._fetch_many((pv_all, w_all))
             for i, d in enumerate(d_np):
                 d = int(d)
                 if d:

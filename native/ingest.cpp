@@ -896,13 +896,18 @@ struct OAMap {
 
 // 64-bit-key variant used per chromosome for the proper-pair table:
 // the pair key (5'pos0, 5'pos1) packs exactly into one u64 once the
-// chromosome picks the table, and a 16 B slot never straddles a
-// cache line (a 24 B slot does for a third of probes).
+// chromosome picks the table.  Slots are packed to 12 B (x86
+// unaligned u64 loads are cheap): at the published 146M-record scale
+// the three tables total ~2.4 GB instead of 3.2, and the probe loop
+// is bandwidth/latency-bound on exactly these bytes.
 struct OAMap64 {
+#pragma pack(push, 1)
   struct Slot {
     uint64_t k;
     uint32_t val;                      // UINT32_MAX = empty
   };
+#pragma pack(pop)
+  static_assert(sizeof(Slot) == 12, "packed 12 B slot");
   Slot* slot = nullptr;
   size_t cap = 0, mask = 0, used = 0;
 
@@ -1043,6 +1048,7 @@ void find_dups(Context* c) {
   };
 
   double t_scatter_s = 0.0;
+  const size_t n_pr_total = c->reads_pr.size();
   {  // properly paired: one 64-bit-key table per chromosome
     std::vector<OAMap64> tables(c->chroms.size());
     {
@@ -1072,8 +1078,9 @@ void find_dups(Context* c) {
     // order within each quality value, identical to the reference's
     // stable johnSort.
     struct PrWork {
-      uint64_t key;              // (pos0<<32)|pos1 of the first aln
-      uint32_t idx;              // meta index (file order) = table value
+      uint64_t key;              // 1 aln: (pos0<<32)|pos1; else the
+                                 // read's offset into multi_arena
+      uint32_t idx;              // meta index (file order)
       uint32_t name_off;
       float score;
       int16_t chrom;             // first aln's chromosome
@@ -1081,6 +1088,7 @@ void find_dups(Context* c) {
     };
     static_assert(sizeof(PrWork) == 24, "PrWork packs to 24 B");
     HVec<PrWork> work;
+    HVec<Aln> multi_arena;       // multi-aln blocks, quality order
     bool small_chroms = c->chroms.size() <= 32767;
     if (small_chroms && n_pr) {
       auto s0 = std::chrono::steady_clock::now();
@@ -1099,19 +1107,31 @@ void find_dups(Context* c) {
         const ReadStore::Meta& m = meta[i];
         uint32_t s = slot[m.qual]++;
         PrWork w;
-        if (m.aln_cnt) {
+        if (m.aln_cnt == 1) {
           const Aln& a = arena[m.aln_off];
           w.key = pr_key(a);
           w.chrom = (int16_t)a.chrom;
         } else {
-          w.key = 0;
+          // rare multi-aln (or empty) read: its block moves to the
+          // side arena so the main stores can be released below
+          w.key = (uint64_t)multi_arena.size();
           w.chrom = 0;
+          multi_arena.append(arena + m.aln_off, m.aln_cnt);
         }
         w.idx = (uint32_t)i;
         w.name_off = m.name_off;
         w.score = m.score;
         w.cnt = m.aln_cnt;
         work[s] = w;
+      }
+      if (!c->opt.single_opt) {
+        // probe needs only work[], multi_arena, the tables, and the
+        // name arena (-R / warnings); at ~146M records meta+alns are
+        // ~3.8 GB of dead weight through the probe phase.  (With -y
+        // the singleton table's TAG_PR values still index pr meta,
+        // so the stores stay until find_dups returns.)
+        c->reads_pr.meta.release();
+        c->reads_pr.alns.release();
       }
       if (fd_prof)
         t_scatter_s = std::chrono::duration<double>(
@@ -1141,6 +1161,10 @@ void find_dups(Context* c) {
             c, NameRef(c->reads_pr, w.name_off), alns, w.cnt, w.score);
       }
     };
+    // pr table values are NAME-ARENA offsets, not meta indices: the
+    // only consumer of a match is the -R log line, and the name
+    // arena outlives the (released) meta/aln stores
+    const char* nm = c->reads_pr.names.data();
     auto probe_read = [&](const PrWork& w) {
       c->ctr.count_pr++;
       if (w.cnt == 1) {          // 1-aln fast path: no arena read,
@@ -1150,15 +1174,14 @@ void find_dups(Context* c) {
         first.score = w.score;
         first.paired = first.full_ = true;
         first.chrom = w.chrom;
-        uint32_t v = tables[w.chrom].find_or_put(w.key, w.idx);
+        uint32_t v = tables[w.chrom].find_or_put(w.key, w.name_off);
         if (v != UINT32_MAX) {
           c->ctr.dups_pr++;
           if (dups_verb)
             outf(c, c->dups_out, c->dups_out_f,
-                 "%s\t%s:%u-%u\t%s\tpaired\n",
-                 c->reads_pr.name(c->reads_pr.meta[w.idx]),
+                 "%s\t%s:%u-%u\t%s\tpaired\n", nm + w.name_off,
                  c->chroms[first.chrom].name.c_str(), first.pos0,
-                 first.pos1, c->reads_pr.name(c->reads_pr.meta[v]));
+                 first.pos1, nm + v);
           return;
         }
         if (seed_singles) {
@@ -1170,9 +1193,8 @@ void find_dups(Context* c) {
         run_pair(w, &first);
         return;
       }
-      const ReadStore::Meta& m = c->reads_pr.meta[w.idx];
       const Aln* alns =
-          w.cnt ? c->reads_pr.alns.data() + m.aln_off : nullptr;
+          w.cnt ? multi_arena.data() + (size_t)w.key : nullptr;
       const Aln* hit = nullptr;
       uint32_t match = UINT32_MAX;
       for (uint16_t k = 0; k < w.cnt; k++) {
@@ -1184,14 +1206,14 @@ void find_dups(Context* c) {
         c->ctr.dups_pr++;
         if (dups_verb)
           outf(c, c->dups_out, c->dups_out_f,
-               "%s\t%s:%u-%u\t%s\tpaired\n", c->reads_pr.name(m),
+               "%s\t%s:%u-%u\t%s\tpaired\n", nm + w.name_off,
                c->chroms[hit->chrom].name.c_str(), hit->pos0,
-               hit->pos1, c->reads_pr.name(c->reads_pr.meta[match]));
+               hit->pos1, nm + match);
         return;
       }
       for (uint16_t k = 0; k < w.cnt; k++) {
         const Aln& a = alns[k];
-        tables[a.chrom].put(pr_key(a), w.idx);
+        tables[a.chrom].put(pr_key(a), w.name_off);
         if (seed_singles) {
           table_sn.put(sn_key(a.chrom, a.pos0, true), w.idx | TAG_PR);
           table_sn.put(sn_key(a.chrom, a.pos1, false), w.idx | TAG_PR);
@@ -1231,12 +1253,12 @@ void find_dups(Context* c) {
             outf(c, c->dups_out, c->dups_out_f,
                  "%s\t%s:%u-%u\t%s\tpaired\n", c->reads_pr.name(m),
                  c->chroms[hit->chrom].name.c_str(), hit->pos0,
-                 hit->pos1, c->reads_pr.name(c->reads_pr.meta[match]));
+                 hit->pos1, c->reads_pr.names.data() + match);
           continue;
         }
         for (uint16_t k = 0; k < m.aln_cnt; k++) {
           const Aln& a = alns[k];
-          tables[a.chrom].put(pr_key(a), i);
+          tables[a.chrom].put(pr_key(a), m.name_off);
           if (seed_singles) {
             table_sn.put(sn_key(a.chrom, a.pos0, true), i | TAG_PR);
             table_sn.put(sn_key(a.chrom, a.pos1, false), i | TAG_PR);
@@ -1253,7 +1275,7 @@ void find_dups(Context* c) {
             "scatter: %.3fs process_pair: %.3fs (%zu reads)\n",
             std::chrono::duration<double>(
                 std::chrono::steady_clock::now() - fd_t0).count(),
-            t_scatter_s, t_pair_s, c->reads_pr.size());
+            t_scatter_s, t_pair_s, n_pr_total);
 
   if (!c->opt.single_opt) return;
 
@@ -2624,7 +2646,7 @@ uint64_t read_bam(Context* c, Reader& rd) {
 
   int n_workers = parse_threads();
   uint64_t count;
-  if (n_workers >= 2)
+  if (n_workers >= 1)
     count = read_bam_parallel(c, rd, idx, n_workers);
   else {
     count = 0;

@@ -1,0 +1,120 @@
+"""2-core ingest parallelism: measured verdict on VERDICT r4 ask #6.
+
+The ask: overlap BGZF inflate/parse with dedup/pileup, or show the
+overlap is structurally impossible.  This artifact measures all the
+terms on the bench box (2 cores):
+
+- ``seq`` / ``par2`` legs: the exact engine with the sequential
+  record loop vs the span-parallel walker+2-worker pool
+  (GENRICH_INGEST_THREADS=2), interleaved A-B-B-A per rung, at a rung
+  where the pool historically wins (10M pairs) and at the top rung.
+- ``frame_only``: the record loop with GENRICH_ABLATE=frame — BGZF
+  inflate (2 worker threads) + framing, no parsing.  Its wall is the
+  floor any parse overlap must live above, and (with ~2 inflate
+  workers busy) its core-seconds approximate the inflate budget.
+
+Structural accounting at the top rung (filled from the measurement):
+with inflate costing ~I core-s, consumer parse ~P core-s, dedup ~D
+core-s and numerics ~N core-s, a 2-core machine's wall floor is
+(I+P+D+N)/2; the measured serial wall shows how much of that
+headroom is already taken by the BGZF worker pool and the numeric
+phase's chromosome threading.  When serial wall is within ~15% of the
+floor, further producer-consumer restructuring has no room on this
+core count — that, not implementation difficulty, is the verdict.
+
+Run: python scripts/bench_overlap.py [n_pairs ...]  (default 10M 40M)
+Emits one JSON line; intended for a committed OVERLAP_r*.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from bench_e2e import FLAGS, _bam_path, _run_rss  # noqa: E402
+
+RECORDS_RE = re.compile(r"\[native\] records: ([0-9.]+)s")
+DEDUP_RE = re.compile(r"post\(find_dups\): ([0-9.]+)s")
+
+
+def _median(xs):
+    s = sorted(xs)
+    return s[len(s) // 2]
+
+
+def _leg(bam, d, env, reps=2, ablate=None):
+    cmd = [sys.executable, "-m", "genrich_tpu", "-t", bam,
+           "-o", "out.np", "--engine", "exact"] + FLAGS
+    base = {"PALLAS_AXON_POOL_IPS": "", "GENRICH_NATIVE_PROF": "1"}
+    base.update(env)
+    if ablate:
+        base["GENRICH_ABLATE"] = ablate
+    walls, recs, deds = [], [], []
+    for _ in range(reps):
+        t, rc, err, _ = _run_rss(cmd, d, 3600.0, extra_env=base)
+        assert rc == 0, (err or "")[-400:]
+        walls.append(t)
+        m = RECORDS_RE.search(err or "")
+        if m:
+            recs.append(float(m.group(1)))
+        m = DEDUP_RE.search(err or "")
+        if m:
+            deds.append(float(m.group(1)))
+    out = {"wall_s": round(_median(walls), 2),
+           "wall_rep_s": [round(x, 2) for x in walls]}
+    if recs:
+        out["records_s"] = round(_median(recs), 2)
+    if deds:
+        out["dedup_s"] = round(_median(deds), 2)
+    return out
+
+
+def _rung(n_pairs: int) -> dict:
+    bam = _bam_path(n_pairs)
+    with open(bam, "rb") as f:
+        while f.read(1 << 24):
+            pass
+    out = {"n_pairs": n_pairs}
+    with tempfile.TemporaryDirectory() as d:
+        # A-B-B-A: seq, par2, par2, seq — then the ablation floor
+        s1 = _leg(bam, d, {"GENRICH_INGEST_THREADS": "0"}, reps=1)
+        p = _leg(bam, d, {"GENRICH_INGEST_THREADS": "2"}, reps=2)
+        s2 = _leg(bam, d, {"GENRICH_INGEST_THREADS": "0"}, reps=1)
+        seq = {k: _median([s1[k], s2[k]]) for k in ("wall_s",)}
+        seq["records_s"] = _median(
+            [s1.get("records_s", 0), s2.get("records_s", 0)])
+        seq["dedup_s"] = _median(
+            [s1.get("dedup_s", 0), s2.get("dedup_s", 0)])
+        seq["wall_rep_s"] = s1["wall_rep_s"] + s2["wall_rep_s"]
+        out["seq"] = seq
+        out["par2"] = p
+        out["frame_only"] = _leg(
+            bam, d, {"GENRICH_INGEST_THREADS": "0"}, reps=1,
+            ablate="frame")
+        out["par2_gain_pct"] = round(
+            100.0 * (seq["wall_s"] - p["wall_s"]) / seq["wall_s"], 1)
+        # structural floor: inflate+framing wall is unavoidable and
+        # already multi-threaded; the records loop above it is the
+        # only overlap target the walker/worker split addresses
+        out["records_minus_frame_s"] = round(
+            seq["records_s"] - out["frame_only"]["records_s"], 2)
+    return out
+
+
+def main() -> None:
+    rungs = [int(a) for a in sys.argv[1:]] \
+        or [10_000_000, 40_000_000]
+    out = {"flags": " ".join(FLAGS),
+           "host": {"cpus": os.cpu_count(),
+                    "loadavg": [round(x, 2)
+                                for x in os.getloadavg()]},
+           "rungs": [_rung(n) for n in rungs]}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -78,3 +78,33 @@ def test_backends_agree_errors(tmp_path):
                           "python"], cwd=str(tmp_path))
     assert r1.returncode == r2.returncode == 1
     assert r1.stderr == r2.stderr
+
+
+def test_backends_agree_many_chroms_dedup(tmp_path):
+    """>32767 chromosomes: the dedup scatter path (int16 chrom in its
+    24-byte work record) must fall back to the permutation loop —
+    exercise that fallback against the Python ingest, with -r dup
+    pairs and multimappers spread across high-index chromosomes."""
+    n_chroms = 33000
+    chroms = [(f"c{i}", 5000) for i in range(n_chroms)]
+    b = oracle.SamBuilder(chroms, seed=77)
+    rng = b.rng
+    for i in range(120):
+        c = f"c{rng.randrange(n_chroms)}"
+        p1 = rng.randrange(0, 3000)
+        p2 = p1 + rng.randrange(100, 800)
+        b.add_pair(c, p1, p2)
+        if i % 3 == 0:          # exact duplicate: same 5' coordinates
+            b.add_pair(c, p1, p2)
+    # multimappers: same qname, equal-score alignments on two distant
+    # chromosomes (1/N weighting + multi-key dup probing in the
+    # fallback loop)
+    for i in range(10):
+        p = 100 + 7 * i
+        q = b.add_pair("c32900", p, p + 300, score=0)
+        b.add_pair(f"c{200 + i}", p, p + 300, score=0,
+                   secondary=True, qname=q)
+    sam = str(tmp_path / "many.sam")
+    b.write(sam)
+    _both(tmp_path, ["-t", sam, "-r", "-R", "out.dups", "-a", "2",
+                     "-p", "0.5"] + OUT, NAMES + ("out.dups",))
