@@ -434,26 +434,41 @@ class ShardedEngine(PerfMixin, HostChromMixin):
             pend.append((st, kern, self._call(
                 kern.distinct, st["starts"], st["ends"], st["pv"],
                 st["live"])))
-        for st, kern, out in pend:
-            pv_all, w_all, d_all = out
-            while True:
-                d_np = self._fetch(d_all).reshape(-1)
-                if (d_np <= kern.k).all():
-                    break
+        # resolve all chromosomes' counts in ONE pull, re-dispatch
+        # any whose distinct table overflowed k, then pull every
+        # (pv, w) table in a second single round trip — per-chrom
+        # pulls were ~6 of the sharded engine's 13 warm fetches
+        d_nps = []
+        while pend:
+            d_nps = [d.reshape(-1) for d in self._fetch_many(
+                [out[2] for _, _, out in pend])]
+            redo = [i for i, ((st, kern, _), d_np)
+                    in enumerate(zip(pend, d_nps))
+                    if not (d_np <= kern.k).all()]
+            if not redo:
+                break
+            for i in redo:
+                st, kern, _ = pend[i]
                 kern = self.pmesh.ShardedKernels(
                     self.mesh, st["tile_len"],
-                    k_distinct=_pow2(int(d_np.max())))
+                    k_distinct=_pow2(int(d_nps[i].max())))
                 self._kernels[st["tile_len"]] = kern
-                pv_all, w_all, d_all = self._call(
+                pend[i] = (st, kern, self._call(
                     kern.distinct, st["starts"], st["ends"],
-                    st["pv"], st["live"])
-            pv_g, w_g = self._fetch_many((pv_all, w_all))
-            for i, d in enumerate(d_np):
-                d = int(d)
-                if d:
-                    ps.append(pv_g[i * kern.k:i * kern.k + d])
-                    ws.append(w_g[i * kern.k:i * kern.k + d]
-                              .astype(np.uint64))
+                    st["pv"], st["live"]))
+        if pend:
+            flat = self._fetch_many(
+                [x for _, _, (pv_all, w_all, _) in pend
+                 for x in (pv_all, w_all)])
+            for j, ((st, kern, _), d_np) in enumerate(
+                    zip(pend, d_nps)):
+                pv_g, w_g = flat[2 * j], flat[2 * j + 1]
+                for i, d in enumerate(d_np):
+                    d = int(d)
+                    if d:
+                        ps.append(pv_g[i * kern.k:i * kern.k + d])
+                        ws.append(w_g[i * kern.k:i * kern.k + d]
+                                  .astype(np.uint64))
         if not ps:
             self._qtable = (jnp.zeros(1, jnp.float32),
                             jnp.zeros(1, jnp.float32))

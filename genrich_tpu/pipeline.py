@@ -103,7 +103,15 @@ def _par_map(fn, items):
     genuinely overlap.  The reference is single-threaded
     (Genrich.c:5386-5695 runs its chromosome loops serially)."""
     import os as _os
-    n = min(len(items), _os.cpu_count() or 1, 4)
+    # cores-1 workers: on a 2-core box 2-thread numerics measured a
+    # WASH at <=100M records and a 27 s LOSS at 146M (glibc main-
+    # arena contention on GB-scale temporaries once the heap starts
+    # growing under the lock), so the serial path is the 2-core
+    # default; GENRICH_NUMERIC_THREADS overrides in either direction
+    n = min(len(items), max(1, (_os.cpu_count() or 2) - 1), 4)
+    env = _os.environ.get("GENRICH_NUMERIC_THREADS", "")
+    if env:
+        n = min(len(items), max(1, int(env)))
     if n <= 1 or len(items) <= 1:
         return [fn(it) for it in items]
     from concurrent.futures import ThreadPoolExecutor
@@ -673,8 +681,13 @@ def find_peaks(registry: ChromRegistry,
                        log_stream, p)
 
 
-def _iter_log_rows(registry, pvals, qvals, n, expt, ctrl, p):
-    """Yield per-interval rows shared by callPeaks/logIntervals -f logs."""
+def _iter_log_rows(registry, pvals, qvals, n, expt, ctrl, p,
+                   need_cov: bool = True):
+    """Yield per-interval rows shared by callPeaks/logIntervals -f logs.
+
+    ``need_cov=False`` (peak calling without a -f log) skips the
+    expt/ctrl/replicate searchsorted gathers — at 146M records those
+    are ~5 s of work whose results would never be read."""
     for c in registry:
         if c.skip:
             continue
@@ -687,6 +700,9 @@ def _iter_log_rows(registry, pvals, qvals, n, expt, ctrl, p):
         qv = qvals.get(c.index)
         ends = pv.end
         starts = np.concatenate([[0], ends[:-1]])
+        if not need_cov:
+            yield c, pv, qv, starts, ends, None, None, None
+            continue
         if n == 0:
             e = expt[c.index]
             ct = ctrl[c.index]
@@ -730,7 +746,8 @@ def _call_peaks(registry, pvals, qvals, n, expt, ctrl, out_stream,
     peak_bp = 0
     for (c, pv, qv, starts, ends, ev, cv,
          reps) in _iter_log_rows(registry, pvals, qvals, n, expt,
-                                 ctrl, p):
+                                 ctrl, p,
+                                 need_cov=log_stream is not None):
         stat = qv.cov if p.qval_opt else pv.cov
         chrom_peaks = peaks_mod.call_peaks_chrom(
             stat, pv.cov, qv.cov if qv is not None else None, ends,
