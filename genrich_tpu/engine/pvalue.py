@@ -182,14 +182,26 @@ def calc_pval_unique_tab(ends: np.ndarray, expt: np.ndarray,
     key = (expt.view(np.uint32).astype(np.uint64) << np.uint64(32)) \
         | ctrl.view(np.uint32).astype(np.uint64)
     uk = np.unique(key)
-    idx = np.searchsorted(uk, key)
+    ends = np.asarray(ends, np.int64)
+    # row mapping + per-pair bp totals: one native hash probe per row
+    # when the library is present — numpy's searchsorted(uk, key) is a
+    # log2(d)-level binary search per row (the p-value stage's
+    # dominant term at 100M+ rows) and the diff/astype/bincount chain
+    # three more full passes.  Identical outputs: both sum the int64
+    # interval lengths per distinct pair in float64 (exact < 2^53).
+    from ..ingest import native as _nat
+    fused = _nat.pair_index_tab(key, uk, ends)
+    if fused is not None:
+        idx, ul = fused
+    else:
+        idx = np.searchsorted(uk, key)
+        lens = np.diff(ends, prepend=np.int64(0))
+        # float64 bincount is exact below 2^53 (genome bp fits)
+        ul = np.bincount(idx, weights=lens.astype(np.float64),
+                         minlength=len(uk))
     ue = (uk >> np.uint64(32)).astype(np.uint32).view(F32)
     uc = uk.astype(np.uint32).view(F32)
     up = calc_pval(ue, uc)
-    lens = np.diff(np.asarray(ends, np.int64), prepend=np.int64(0))
-    # float64 bincount is exact below 2^53 (genome bp fits)
-    ul = np.bincount(idx, weights=lens.astype(np.float64),
-                     minlength=len(uk))
     keep = up != F32(SKIP)
     return up[idx], (up[keep], ul[keep].astype(np.uint64))
 
@@ -202,16 +214,26 @@ def merge_pileups(expt: Pileup, ctrl: Pileup
     """
     if len(ctrl.end) <= 64:
         # common case (constant-lambda / few -E runs): merge the few
-        # ctrl boundaries into the sorted expt ends without re-sorting
+        # ctrl boundaries into the sorted expt ends without re-sorting.
+        # RLE ends are strictly increasing, so the expt row index is
+        # pure insertion arithmetic — original row k stays k, an
+        # inserted boundary reads the run it splits (the first expt
+        # end above it) — no log(n) searchsorted over the big array
+        # and, with no insertions, no gather at all.
         extra = np.setdiff1d(ctrl.end, expt.end, assume_unique=False)
+        ex = np.asarray(expt.end, np.int64)
         if len(extra):
-            ins = np.searchsorted(expt.end, extra)
-            ends = np.insert(np.asarray(expt.end, np.int64), ins,
-                             extra)
+            ins = np.searchsorted(ex, extra)
+            ends = np.insert(ex, ins, extra)
+            ei = np.insert(np.arange(len(ex), dtype=np.int64), ins,
+                           ins)
+            ev = expt.cov[ei]
         else:
-            ends = np.asarray(expt.end, np.int64)
-    else:
-        ends = np.union1d(expt.end, ctrl.end)
+            ends = ex
+            ev = np.asarray(expt.cov)
+        ci = np.searchsorted(ctrl.end, ends, side="left")
+        return ends, ev, ctrl.cov[ci]
+    ends = np.union1d(expt.end, ctrl.end)
     ei = np.searchsorted(expt.end, ends, side="left")
     ci = np.searchsorted(ctrl.end, ends, side="left")
     return ends, expt.cov[ei], ctrl.cov[ci]

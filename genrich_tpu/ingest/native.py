@@ -341,6 +341,48 @@ def exact_sum_f32(terms) -> Optional[float]:
         t.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(t))
 
 
+def pair_index_tab(keys, uk, ends):
+    """Fused distinct-pair row index + per-pair bp totals in C.
+
+    ``keys`` are per-RLE-row packed (expt, ctrl) u64s, ``uk`` their
+    sorted distinct table (np.unique(keys)), ``ends`` the int64 row
+    end coordinates.  Returns (idx uint32, bp float64[d]) with
+    uk[idx] == keys and bp[j] the summed interval length of pair j —
+    the savePval row mapping plus the hashPval BH histogram terms
+    (Genrich.c:1720-1794, 300-327) in one pass.  None if the library
+    is absent or a key is missing from uk (caller falls back to
+    numpy's searchsorted/bincount).
+    """
+    import numpy as np
+    try:
+        lib = _load(build=False)
+    except Exception:
+        return None
+    if not hasattr(lib, "_pit_ready"):
+        pu64 = ctypes.POINTER(ctypes.c_uint64)
+        lib.gi_pair_index_tab.restype = ctypes.c_int
+        lib.gi_pair_index_tab.argtypes = [
+            pu64, ctypes.c_int64, pu64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_double)]
+        lib._pit_ready = True
+    k = np.ascontiguousarray(keys, np.uint64)
+    u = np.ascontiguousarray(uk, np.uint64)
+    e = np.ascontiguousarray(ends, np.int64)
+    idx = np.empty(len(k), np.uint32)
+    bp = np.empty(len(u), np.float64)
+    pu64 = ctypes.POINTER(ctypes.c_uint64)
+    rc = lib.gi_pair_index_tab(
+        k.ctypes.data_as(pu64), len(k), u.ctypes.data_as(pu64),
+        len(u), e.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        bp.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if rc != 0:
+        return None
+    return idx, bp
+
+
 def log10f_arr_native(x) -> Optional["np.ndarray"]:
     """Elementwise libm log10f in C; None if lib absent."""
     import numpy as np

@@ -3348,4 +3348,54 @@ int64_t gi_write_pile_rows(const char* path, int gz, const char* name,
   return 0;
 }
 
+// Fused distinct-pair index + BH length accumulation for the exact
+// engine's p-value stage (savePval + hashPval, Genrich.c:1720-1794,
+// 300-327).  Inputs: per-interval packed (expt, ctrl) u64 keys in RLE
+// row order, the sorted distinct table uk (numpy unique of the same
+// keys), and the interval end coordinates.  Outputs: idx[i] with
+// uk[idx[i]] == keys[i], and bp[j] = total interval length mapped to
+// distinct pair j (double; genome bp < 2^53 so the sum is exact).
+// Replaces numpy's searchsorted(uk, key) — a log2(d)-level binary
+// search per row whose lower levels miss cache — plus a diff/astype/
+// bincount chain, with one hash probe per row.  Returns 0, or -1 if a
+// key is missing from uk (caller falls back to numpy).
+int gi_pair_index_tab(const uint64_t* keys, int64_t n,
+                      const uint64_t* uk, int64_t d,
+                      const int64_t* ends, uint32_t* idx_out,
+                      double* bp_out) {
+  size_t cap = 64;
+  while (cap < 2 * (size_t)d + 16) cap <<= 1;
+  const size_t mask = cap - 1;
+  struct Slot { uint64_t k; uint32_t v; };
+  std::vector<Slot> tab(cap, Slot{0, UINT32_MAX});
+  auto mix = [](uint64_t x) {
+    x *= 0x9E3779B97F4A7C15ull;
+    x ^= x >> 30; x *= 0xBF58476D1CE4E5B9ull;
+    x ^= x >> 27; x *= 0x94D049BB133111EBull;
+    return x ^ (x >> 31);
+  };
+  for (int64_t j = 0; j < d; j++) {
+    size_t i = mix(uk[j]) & mask;
+    while (tab[i].v != UINT32_MAX) i = (i + 1) & mask;
+    tab[i] = Slot{uk[j], (uint32_t)j};
+  }
+  for (int64_t j = 0; j < d; j++) bp_out[j] = 0.0;
+  int64_t prev = 0;
+  for (int64_t r = 0; r < n; r++) {
+    const uint64_t k = keys[r];
+    if (r + 8 < n) __builtin_prefetch(&tab[mix(keys[r + 8]) & mask]);
+    size_t i = mix(k) & mask;
+    for (;;) {
+      if (tab[i].k == k && tab[i].v != UINT32_MAX) break;
+      if (tab[i].v == UINT32_MAX) return -1;
+      i = (i + 1) & mask;
+    }
+    const uint32_t j = tab[i].v;
+    idx_out[r] = j;
+    bp_out[j] += (double)(ends[r] - prev);
+    prev = ends[r];
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -108,3 +108,40 @@ def test_backends_agree_many_chroms_dedup(tmp_path):
     b.write(sam)
     _both(tmp_path, ["-t", sam, "-r", "-R", "out.dups", "-a", "2",
                      "-p", "0.5"] + OUT, NAMES + ("out.dups",))
+
+
+def test_pair_index_tab_matches_numpy():
+    """gi_pair_index_tab must reproduce numpy's searchsorted row
+    mapping and diff/bincount BH lengths exactly (the p-value stage
+    uses whichever is available; both must be one implementation of
+    savePval + hashPval, Genrich.c:1720-1794, 300-327)."""
+    import numpy as np
+    from genrich_tpu.ingest import native
+
+    rng = np.random.default_rng(5)
+    for n, d in ((1, 1), (17, 3), (4096, 1), (100_000, 257),
+                 (100_000, 4095)):
+        uk_pool = rng.choice(np.arange(1, 1 << 62, (1 << 62) //
+                                       (4 * d), dtype=np.uint64),
+                             size=d, replace=False).astype(np.uint64)
+        keys = rng.choice(uk_pool, size=n).astype(np.uint64)
+        uk = np.unique(keys)
+        ends = np.cumsum(rng.integers(1, 1000, n).astype(np.int64))
+        out = native.pair_index_tab(keys, uk, ends)
+        if out is None:
+            import pytest
+            pytest.skip("native library unavailable")
+        idx, bp = out
+        ref_idx = np.searchsorted(uk, keys)
+        lens = np.diff(ends, prepend=np.int64(0))
+        ref_bp = np.bincount(ref_idx, weights=lens.astype(np.float64),
+                             minlength=len(uk))
+        assert (idx == ref_idx).all()
+        assert (bp == ref_bp).all()
+
+    # a key absent from uk must refuse (numpy fallback), not corrupt
+    keys = np.array([5, 9], np.uint64)
+    uk = np.array([5], np.uint64)
+    ends = np.array([10, 20], np.int64)
+    out = native.pair_index_tab(keys, uk, ends)
+    assert out is None
