@@ -56,7 +56,13 @@ def _leg(bam, d, env, reps=2, ablate=None):
     walls, recs, deds = [], [], []
     for _ in range(reps):
         t, rc, err, _ = _run_rss(cmd, d, 3600.0, extra_env=base)
-        assert rc == 0, (err or "")[-400:]
+        if ablate:
+            # an ablated records loop produces no fragments, so the
+            # pipeline exits with the reference's ERREXPT after the
+            # phase timer prints — the timer is the measurement
+            assert RECORDS_RE.search(err or ""), (err or "")[-400:]
+        else:
+            assert rc == 0, (err or "")[-400:]
         walls.append(t)
         m = RECORDS_RE.search(err or "")
         if m:
