@@ -78,29 +78,31 @@ class ShardedEngine(PerfMixin, HostChromMixin):
         from functools import partial
 
         @partial(jax.jit, static_argnames=("size",))
-        def _expand16_2d(s, ln, c, tile_len, size):
-            # tight uint16-length upload -> full [T, size] triple
-            pad = size - s.shape[1]
-            e = s + ln.astype(jnp.int32)
-            fill = jnp.full((s.shape[0], pad), tile_len, jnp.int32)
-            return (jnp.concatenate([s, fill], axis=1),
-                    jnp.concatenate([e, fill], axis=1),
-                    jnp.concatenate(
-                        [c, jnp.zeros((s.shape[0], pad), jnp.uint8)],
-                        axis=1))
+        def _expand_flat16(fs, fl, fc, off, tile_len, size):
+            # flat tile-major events + [T+1] offsets -> [T, size]
+            # padded triple; rows beyond a tile's count become
+            # (tile_len, tile_len, 0) padding on device
+            idx = off[:-1, None] + jnp.arange(size, dtype=jnp.int32)
+            valid = idx < off[1:, None]
+            idxc = jnp.minimum(idx, fs.shape[0] - 1)
+            s = jnp.where(valid, fs[idxc], tile_len)
+            e = jnp.where(valid, s + fl[idxc].astype(jnp.int32),
+                          tile_len)
+            c = jnp.where(valid, fc[idxc], 0).astype(jnp.uint8)
+            return s, e, c
 
         @partial(jax.jit, static_argnames=("size",))
-        def _expand32_2d(s, e, c, tile_len, size):
-            pad = size - s.shape[1]
-            fill = jnp.full((s.shape[0], pad), tile_len, jnp.int32)
-            return (jnp.concatenate([s, fill], axis=1),
-                    jnp.concatenate([e, fill], axis=1),
-                    jnp.concatenate(
-                        [c, jnp.zeros((s.shape[0], pad), jnp.uint8)],
-                        axis=1))
+        def _expand_flat32(fs, fe, fc, off, tile_len, size):
+            idx = off[:-1, None] + jnp.arange(size, dtype=jnp.int32)
+            valid = idx < off[1:, None]
+            idxc = jnp.minimum(idx, fs.shape[0] - 1)
+            s = jnp.where(valid, fs[idxc], tile_len)
+            e = jnp.where(valid, fe[idxc], tile_len)
+            c = jnp.where(valid, fc[idxc], 0).astype(jnp.uint8)
+            return s, e, c
 
-        self._expand16_2d = _expand16_2d
-        self._expand32_2d = _expand32_2d
+        self._expand_flat16 = _expand_flat16
+        self._expand_flat32 = _expand_flat32
 
     # --- grid construction ----------------------------------------------
 
@@ -176,37 +178,53 @@ class ShardedEngine(PerfMixin, HostChromMixin):
             ev[0], ev[1], ev[2], n_tiles, tile_len)
 
     def _stage_events(self, s, e, c, w: int, tile_len: int):
-        """Upload one [T, *] event triple tight, expand to [T, w].
+        """Upload one [T, *] event triple FLAT, expand to [T, w].
 
-        Same wire-format trick as the jax engine: starts int32,
-        lengths uint16 when they fit, counts uint8, width rounded to
-        a 1/16 granule of the final sort width — the device expand
-        reconstructs ends and pads out, so the link carries ~7 bytes
-        per event instead of 9 bytes per padded slot.
+        The padded [T, E] layout wastes the wire on tile skew: with
+        clustered (ATAC-like) events every tile ships the densest
+        tile's width.  Instead the link carries exactly the real
+        events, tile-major — starts int32 + lengths uint16 (when
+        they fit; int32 ends otherwise) + counts uint8 — plus a
+        [T+1] int32 offset vector; the device expand gathers each
+        tile's slice into the compiled [T, w] shape and materializes
+        the padding rows in HBM.  The flat length is rounded up to a
+        power-of-two granule (monotone per engine) so jit shapes
+        stay bounded across chromosomes and analyses.
         """
         import jax.numpy as jnp
         n_tiles, wn = s.shape
-        granule = max(w // 16, 1)
-        wu = min(-(-wn // granule) * granule, w)
-        if wu > wn:
-            pad = wu - wn
-            s = np.pad(s, ((0, 0), (0, pad)),
-                       constant_values=tile_len)
-            e = np.pad(e, ((0, 0), (0, pad)),
-                       constant_values=tile_len)
-            c = np.pad(c, ((0, 0), (0, pad)))
-        lens = e.astype(np.int64) - s
-        if int(lens.max(initial=0)) < (1 << 16) \
-                and int(lens.min(initial=0)) >= 0:
+        real = s != tile_len          # padding rows are (tl, tl, 0)
+        per_tile = real.sum(axis=1).astype(np.int64)
+        off = np.zeros(n_tiles + 1, np.int32)
+        off[1:] = np.cumsum(per_tile).astype(np.int32)
+        fs = s[real].astype(np.int32)
+        fe = e[real].astype(np.int64)
+        fc = c[real].astype(np.uint8)
+        n = len(fs)
+        # 1/8-octave size buckets: at most 8 compiled expand shapes
+        # per power of two, padding waste <= 12.5% — a monotone pow2
+        # floor here measured 44 MB on the 2M-pair bench workload
+        # (every chromosome padded to the largest's power of two)
+        # where the real events are ~31 MB
+        base = _pow2(max(n, 1), lo=1 << 13)
+        granule = base >> 3
+        cap = -(-max(n, 1) // granule) * granule
+        pad = cap - n
+        fs = np.pad(fs, (0, pad), constant_values=tile_len)
+        fc = np.pad(fc, (0, pad))
+        lens = fe - s[real]
+        if n == 0 or (int(lens.max(initial=0)) < (1 << 16)
+                      and int(lens.min(initial=0)) >= 0):
+            fl = np.pad(lens.astype(np.uint16), (0, pad))
             return self._call(
-                self._expand16_2d, self._put(s.astype(np.int32)),
-                self._put(lens.astype(np.uint16)),
-                self._put(c.astype(np.uint8)), jnp.int32(tile_len),
+                self._expand_flat16, self._put(fs), self._put(fl),
+                self._put(fc), self._put(off), jnp.int32(tile_len),
                 size=w)
+        fe32 = np.pad(fe.astype(np.int32), (0, pad),
+                      constant_values=tile_len)
         return self._call(
-            self._expand32_2d, self._put(s.astype(np.int32)),
-            self._put(e.astype(np.int32)),
-            self._put(c.astype(np.uint8)), jnp.int32(tile_len),
+            self._expand_flat32, self._put(fs), self._put(fe32),
+            self._put(fc), self._put(off), jnp.int32(tile_len),
             size=w)
 
     def _split_excl(self, bed: List[int], tile_len: int,
@@ -238,9 +256,9 @@ class ShardedEngine(PerfMixin, HostChromMixin):
             key = (n_tiles, w, tile_len)
             cached = self._empty_cache.get(key)
             if cached is None:
-                # stage the all-padding triple through the expand
-                # kernel: the wire carries one granule-wide tight
-                # array (~w/16 slots) instead of a full [n_tiles, w]
+                # stage the all-padding triple through the flat
+                # expand kernel: the wire carries a minimum-granule
+                # flat array + offsets instead of a full [n_tiles, w]
                 # constant (was the bulk of the sharded engine's
                 # upload tax on no-ctrl runs)
                 cached = self._stage_events(
