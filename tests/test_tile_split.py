@@ -198,3 +198,61 @@ def test_split_excl_edges():
     got = split_excl_to_tiles([5, 5, 350, 360, 90, 210], 3, 100)
     want = _split_excl_loop([5, 5, 350, 360, 90, 210], 3, 100)
     np.testing.assert_array_equal(got, want)
+
+
+def test_stage_events_flat_wire_roundtrip():
+    """ShardedEngine._stage_events must reproduce the padded [T, w]
+    triple exactly through the flat+offsets wire (both the uint16-
+    length and int32-end encodings, including the all-padding empty
+    case the no-ctrl cache stages)."""
+    from genrich_tpu.engine.sharded_bridge import ShardedEngine
+    from genrich_tpu.parallel.mesh import split_events_to_tiles
+
+    eng = ShardedEngine(n_devices=1)
+    tile_len, n_tiles, w = 1 << 12, 8, 64
+    rng = np.random.RandomState(3)
+    n = 200
+    s = np.sort(rng.randint(0, n_tiles * tile_len - 40, n).astype(
+        np.int64))
+    e = s + rng.randint(1, 5000, n)
+    e = np.minimum(e, n_tiles * tile_len)
+    c = rng.randint(1, 11, n).astype(np.int64)
+    ts, te, tc = split_events_to_tiles(s, e, c, n_tiles, tile_len)
+
+    def expect(ts, te, tc):
+        out_s = np.full((n_tiles, w), tile_len, np.int32)
+        out_e = np.full((n_tiles, w), tile_len, np.int32)
+        out_c = np.zeros((n_tiles, w), np.uint8)
+        wn = ts.shape[1]
+        out_s[:, :wn] = ts
+        out_e[:, :wn] = te
+        out_c[:, :wn] = tc
+        out_c[out_s == tile_len] = 0
+        return out_s, out_e, out_c
+
+    for triple in ((ts, te, tc),
+                   (np.full((n_tiles, 0), tile_len, np.int64),) * 3):
+        a, b, cc = triple
+        ds, de, dc = (np.asarray(x) for x in eng._stage_events(
+            a, b, cc, w, tile_len))
+        es, ee, ec = expect(a, b, cc)
+        np.testing.assert_array_equal(ds, es)
+        np.testing.assert_array_equal(de, ee)
+        np.testing.assert_array_equal(dc, ec)
+
+    # int32 path: one piece longer than 2^16
+    e2 = e.copy()
+    s2 = s.copy()
+    s2[0], e2[0] = 0, (1 << 12) * 8  # full-grid cover in every tile
+    ts2, te2, tc2 = split_events_to_tiles(s2, e2, c, n_tiles,
+                                          tile_len)
+    # piece length here is tile_len (4096) < 2^16; force the int32
+    # branch by using a bigger grid instead
+    big_tl = 1 << 18
+    ts3, te3, tc3 = split_events_to_tiles(
+        np.array([0], np.int64), np.array([big_tl], np.int64),
+        np.array([1], np.int64), 2, big_tl)
+    ds, de, dc = (np.asarray(x) for x in eng._stage_events(
+        ts3, te3, tc3, 4, big_tl))
+    assert ds[0, 0] == 0 and de[0, 0] == big_tl and dc[0, 0] == 1
+    assert (ds[0, 1:] == big_tl).all() and (dc[1] == 0).all()
